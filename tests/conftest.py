@@ -1,0 +1,28 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+The TPU-native answer to "test distributed without a cluster"
+(SURVEY.md §4): XLA host-platform virtual devices.
+
+Note: this image's sitecustomize registers the `axon` TPU backend at
+interpreter start, so the env-var route (JAX_PLATFORMS) is already
+consumed; we must override via jax.config after import instead.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,469 @@
+"""NHWC layer library (TPU-native).
+
+One layout (NHWC), one dtype discipline (params f32, compute follows input
+dtype; normalization statistics always f32).  Replaces the reference's
+``tlx.nn`` layers and their NCHW/NHWC ``data_format`` duality
+(reference tlxcv/models/detection/utils/ops.py:393-440 — deleted here).
+
+Conv kernels are HWIO; dense kernels are (in, out).
+"""
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core import init as I
+from ..core.module import BatchStat, Module, Param, is_training, rng, has_rng
+
+__all__ = [
+    "Conv2d", "ConvTranspose2d", "Conv3d", "Linear", "Embedding",
+    "BatchNorm", "BatchNorm2d", "LayerNorm", "GroupNorm",
+    "MaxPool2d", "AvgPool2d", "MaxPool3d", "AvgPool3d",
+    "AdaptiveAvgPool2d", "GlobalAvgPool2d",
+    "Dropout", "DropPath", "Identity", "Sequential", "Activation",
+    "relu", "relu6", "gelu", "silu", "sigmoid", "softmax", "hardswish",
+    "hardsigmoid", "leaky_relu", "mish", "tanh", "get_activation",
+]
+
+
+# --------------------------------------------------------------------------
+# functional activations
+# --------------------------------------------------------------------------
+relu = jax.nn.relu
+relu6 = jax.nn.relu6
+gelu = jax.nn.gelu
+silu = jax.nn.silu
+sigmoid = jax.nn.sigmoid
+softmax = jax.nn.softmax
+tanh = jnp.tanh
+hardswish = jax.nn.hard_swish
+hardsigmoid = jax.nn.hard_sigmoid
+
+
+def leaky_relu(x, negative_slope=0.01):
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+_ACTS: dict[str, tp.Callable] = {
+    "relu": relu, "relu6": relu6, "gelu": gelu, "silu": silu, "swish": silu,
+    "sigmoid": sigmoid, "tanh": tanh, "hardswish": hardswish,
+    "hard_swish": hardswish, "hardsigmoid": hardsigmoid,
+    "hard_sigmoid": hardsigmoid, "leaky_relu": leaky_relu, "leakyrelu": leaky_relu,
+    "mish": mish, "identity": lambda x: x, "linear": lambda x: x,
+}
+
+
+def get_activation(act) -> tp.Callable:
+    """Resolve an activation given a name, callable, or None."""
+    if act is None:
+        return lambda x: x
+    if callable(act):
+        return act
+    try:
+        return _ACTS[act.lower()]
+    except KeyError:
+        raise ValueError(f"unknown activation {act!r}") from None
+
+
+class Activation(Module):
+    def __init__(self, act):
+        self.fn = get_activation(act)
+
+    def __call__(self, x):
+        return self.fn(x)
+
+
+class Identity(Module):
+    def __call__(self, x, *a, **k):
+        return x
+
+
+class Sequential(Module):
+    def __init__(self, *layers):
+        if len(layers) == 1 and isinstance(layers[0], (list, tuple)):
+            layers = tuple(layers[0])
+        self.layers = list(layers)
+
+    def __call__(self, x):
+        for layer in self.layers:
+            x = layer(x) if not callable(layer) or isinstance(layer, Module) else layer(x)
+        return x
+
+    def __getitem__(self, i):
+        return self.layers[i]
+
+    def __len__(self):
+        return len(self.layers)
+
+
+# --------------------------------------------------------------------------
+# padding helpers
+# --------------------------------------------------------------------------
+def _pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def _conv_padding(padding, kernel, stride, dilation, nd=2):
+    """Normalize padding spec to lax form.
+
+    Accepts 'SAME'/'VALID', int, per-dim ints, or explicit ((lo,hi),...).
+    Integer padding matches torch/paddle semantics (symmetric explicit pad),
+    which is what the reference models use everywhere.
+    """
+    if isinstance(padding, str):
+        return padding.upper()
+    if isinstance(padding, int):
+        return [(padding, padding)] * nd
+    padding = list(padding)
+    if all(isinstance(p, int) for p in padding):
+        return [(p, p) for p in padding]
+    return [tuple(p) for p in padding]
+
+
+# --------------------------------------------------------------------------
+# Conv / Linear / Embedding
+# --------------------------------------------------------------------------
+class Conv2d(Module):
+    """2D convolution, NHWC activations, HWIO weights.
+
+    Maps onto the MXU via lax.conv_general_dilated; XLA fuses the bias add
+    and any following elementwise op.
+    """
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, dilation=1, groups=1, bias=True,
+                 w_init=None, b_init=None):
+        kh, kw = _pair(kernel_size)
+        self.stride = _pair(stride)
+        self.dilation = _pair(dilation)
+        self.groups = groups
+        self.padding = _conv_padding(padding, (kh, kw), self.stride, self.dilation)
+        shape = (kh, kw, in_channels // groups, out_channels)
+        w = w_init(shape) if callable(w_init) else I.kaiming_normal(shape, mode="fan_out")
+        self.weight = Param(w)
+        if bias:
+            b = b_init((out_channels,)) if callable(b_init) else I.zeros((out_channels,))
+            self.bias = Param(b)
+        else:
+            self.bias = None
+
+    def __call__(self, x):
+        w = self.weight.value.astype(x.dtype)
+        y = lax.conv_general_dilated(
+            x, w,
+            window_strides=self.stride,
+            padding=self.padding,
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        if self.bias is not None:
+            y = y + self.bias.value.astype(y.dtype)
+        return y
+
+
+class ConvTranspose2d(Module):
+    """Transposed 2D convolution (NHWC), torch-compatible geometry."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding=0, output_padding=0, bias=True, groups=1, w_init=None):
+        kh, kw = _pair(kernel_size)
+        self.stride = _pair(stride)
+        self.pad = _pair(padding)
+        self.output_padding = _pair(output_padding)
+        self.groups = groups
+        self.kernel = (kh, kw)
+        # HWIO with I = in/groups; torch (in, out/g, kh, kw) converts via
+        # reshape(g, in/g, out/g, kh, kw) -> transpose -> (kh, kw, in/g, out)
+        shape = (kh, kw, in_channels // groups, out_channels)
+        w = w_init(shape) if callable(w_init) else I.kaiming_normal(shape, mode="fan_out")
+        self.weight = Param(w)
+        self.bias = Param(I.zeros((out_channels,))) if bias else None
+
+    def __call__(self, x):
+        kh, kw = self.kernel
+        sh, sw = self.stride
+        ph, pw = self.pad
+        oph, opw = self.output_padding
+        w = self.weight.value.astype(x.dtype)
+        # torch convtranspose == lhs-dilated conv with flipped kernel
+        y = lax.conv_general_dilated(
+            x, jnp.flip(w, (0, 1)),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph + oph), (kw - 1 - pw, kw - 1 - pw + opw)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        if self.bias is not None:
+            y = y + self.bias.value.astype(y.dtype)
+        return y
+
+
+class Conv3d(Module):
+    """3D convolution, NDHWC activations, DHWIO weights (I3D video nets)."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                 padding="SAME", bias=True, w_init=None):
+        if isinstance(kernel_size, int):
+            kernel_size = (kernel_size,) * 3
+        if isinstance(stride, int):
+            stride = (stride,) * 3
+        self.stride = tuple(stride)
+        self.padding = _conv_padding(padding, kernel_size, stride, (1, 1, 1), nd=3)
+        shape = tuple(kernel_size) + (in_channels, out_channels)
+        w = w_init(shape) if callable(w_init) else I.kaiming_normal(shape, mode="fan_out")
+        self.weight = Param(w)
+        self.bias = Param(I.zeros((out_channels,))) if bias else None
+
+    def __call__(self, x):
+        w = self.weight.value.astype(x.dtype)
+        y = lax.conv_general_dilated(
+            x, w,
+            window_strides=self.stride,
+            padding=self.padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+        if self.bias is not None:
+            y = y + self.bias.value.astype(y.dtype)
+        return y
+
+
+class Linear(Module):
+    def __init__(self, in_features, out_features, bias=True, w_init=None, b_init=None):
+        shape = (in_features, out_features)
+        w = w_init(shape) if callable(w_init) else I.kaiming_uniform(shape, nonlinearity="linear")
+        self.weight = Param(w)
+        if bias:
+            b = b_init((out_features,)) if callable(b_init) else I.zeros((out_features,))
+            self.bias = Param(b)
+        else:
+            self.bias = None
+
+    def __call__(self, x):
+        y = jnp.dot(x, self.weight.value.astype(x.dtype),
+                    preferred_element_type=x.dtype)
+        if self.bias is not None:
+            y = y + self.bias.value.astype(y.dtype)
+        return y
+
+
+class Embedding(Module):
+    def __init__(self, num_embeddings, features, w_init=None):
+        w = w_init((num_embeddings, features)) if callable(w_init) else \
+            I.normal((num_embeddings, features), std=0.02)
+        self.weight = Param(w)
+
+    def __call__(self, ids):
+        return jnp.take(self.weight.value, ids, axis=0)
+
+
+# --------------------------------------------------------------------------
+# Normalization
+# --------------------------------------------------------------------------
+class BatchNorm(Module):
+    """Batch normalization over all axes except the last (channel) axis.
+
+    Running stats are f32 BatchStat variables updated functionally when
+    called under ``training=True`` (SURVEY.md §7 design stance: stats flow
+    through the pure-function state dict, no in-place backend mutation).
+    """
+
+    def __init__(self, num_features, eps=1e-5, momentum=0.9, affine=True):
+        self.eps = eps
+        self.momentum = momentum
+        if affine:
+            self.weight = Param(I.ones((num_features,)))
+            self.bias = Param(I.zeros((num_features,)))
+        else:
+            self.weight = self.bias = None
+        self.running_mean = BatchStat(I.zeros((num_features,)))
+        self.running_var = BatchStat(I.ones((num_features,)))
+
+    def __call__(self, x):
+        reduce_axes = tuple(range(x.ndim - 1))
+        if is_training():
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.var(xf, axis=reduce_axes)
+            m = self.momentum
+            self.running_mean.value = m * self.running_mean.value + (1 - m) * mean
+            self.running_var.value = m * self.running_var.value + (1 - m) * var
+        else:
+            mean = self.running_mean.value
+            var = self.running_var.value
+        scale = lax.rsqrt(var + self.eps)
+        if self.weight is not None:
+            scale = scale * self.weight.value
+        offset = -mean * scale
+        if self.bias is not None:
+            offset = offset + self.bias.value
+        return x * scale.astype(x.dtype) + offset.astype(x.dtype)
+
+
+BatchNorm2d = BatchNorm  # NHWC: same reduction for 1d/2d/3d inputs
+
+
+class LayerNorm(Module):
+    def __init__(self, num_features, eps=1e-5, affine=True):
+        self.eps = eps
+        if affine:
+            self.weight = Param(I.ones((num_features,)))
+            self.bias = Param(I.zeros((num_features,)))
+        else:
+            self.weight = self.bias = None
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.eps)
+        if self.weight is not None:
+            y = y * self.weight.value + self.bias.value
+        return y.astype(x.dtype)
+
+
+class GroupNorm(Module):
+    def __init__(self, num_groups, num_channels, eps=1e-5, affine=True):
+        assert num_channels % num_groups == 0
+        self.num_groups = num_groups
+        self.eps = eps
+        if affine:
+            self.weight = Param(I.ones((num_channels,)))
+            self.bias = Param(I.zeros((num_channels,)))
+        else:
+            self.weight = self.bias = None
+
+    def __call__(self, x):
+        shape = x.shape
+        g = self.num_groups
+        xf = x.astype(jnp.float32).reshape(shape[:-1] + (g, shape[-1] // g))
+        axes = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        y = ((xf - mean) * lax.rsqrt(var + self.eps)).reshape(shape)
+        if self.weight is not None:
+            y = y * self.weight.value + self.bias.value
+        return y.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Pooling
+# --------------------------------------------------------------------------
+def _pool(x, kind, window, stride, padding, nd=2):
+    window = _pair(window) if nd == 2 else (window,) * nd if isinstance(window, int) else tuple(window)
+    stride = window if stride is None else (
+        _pair(stride) if nd == 2 else (stride,) * nd if isinstance(stride, int) else tuple(stride))
+    dims = (1,) + tuple(window) + (1,)
+    strides = (1,) + tuple(stride) + (1,)
+    if isinstance(padding, str):
+        pads = padding.upper()
+    else:
+        p = _pair(padding) if nd == 2 else (padding,) * nd if isinstance(padding, int) else tuple(padding)
+        pads = [(0, 0)] + [(pi, pi) for pi in p] + [(0, 0)]
+    if kind == "max":
+        neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+               else jnp.iinfo(x.dtype).min)
+        return lax.reduce_window(x, neg, lax.max, dims, strides, pads)
+    # average pooling that excludes padding (torch count_include_pad=False ≈
+    # paddle exclusive=True, what the reference models assume)
+    summed = lax.reduce_window(x.astype(jnp.float32), 0.0, lax.add, dims, strides, pads)
+    ones = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
+    counts = lax.reduce_window(ones, 0.0, lax.add, dims, strides, pads)
+    return (summed / counts).astype(x.dtype)
+
+
+class MaxPool2d(Module):
+    def __init__(self, kernel_size, stride=None, padding=0):
+        self.k, self.s, self.p = kernel_size, stride, padding
+
+    def __call__(self, x):
+        return _pool(x, "max", self.k, self.s, self.p)
+
+
+class AvgPool2d(Module):
+    def __init__(self, kernel_size, stride=None, padding=0):
+        self.k, self.s, self.p = kernel_size, stride, padding
+
+    def __call__(self, x):
+        return _pool(x, "avg", self.k, self.s, self.p)
+
+
+class MaxPool3d(Module):
+    def __init__(self, kernel_size, stride=None, padding=0):
+        self.k, self.s, self.p = kernel_size, stride, padding
+
+    def __call__(self, x):
+        return _pool(x, "max", self.k, self.s, self.p, nd=3)
+
+
+class AvgPool3d(Module):
+    def __init__(self, kernel_size, stride=None, padding=0):
+        self.k, self.s, self.p = kernel_size, stride, padding
+
+    def __call__(self, x):
+        return _pool(x, "avg", self.k, self.s, self.p, nd=3)
+
+
+class AdaptiveAvgPool2d(Module):
+    """Adaptive average pool to a fixed (h, w) output (NHWC)."""
+
+    def __init__(self, output_size):
+        self.output_size = _pair(output_size)
+
+    def __call__(self, x):
+        oh, ow = self.output_size
+        n, h, w, c = x.shape
+        if h % oh == 0 and w % ow == 0:
+            x = x.reshape(n, oh, h // oh, ow, w // ow, c)
+            return jnp.mean(x, axis=(2, 4))
+        # general case: mean over value-dependent bins, torch semantics
+        out = jax.image.resize(x.astype(jnp.float32), (n, oh, ow, c), "linear")
+        return out.astype(x.dtype)
+
+
+class GlobalAvgPool2d(Module):
+    def __init__(self, keepdims=False):
+        self.keepdims = keepdims
+
+    def __call__(self, x):
+        return jnp.mean(x, axis=(1, 2), keepdims=self.keepdims)
+
+
+# --------------------------------------------------------------------------
+# Regularization
+# --------------------------------------------------------------------------
+class Dropout(Module):
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, x):
+        if not is_training() or self.p == 0.0:
+            return x
+        keep = 1.0 - self.p
+        mask = jax.random.bernoulli(rng("dropout"), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class DropPath(Module):
+    """Stochastic depth: drop the whole residual branch per sample."""
+
+    def __init__(self, p=0.0):
+        self.p = p
+
+    def __call__(self, x):
+        if not is_training() or self.p == 0.0:
+            return x
+        keep = 1.0 - self.p
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng("dropout"), keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
