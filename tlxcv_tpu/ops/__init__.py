@@ -1,0 +1,11 @@
+from . import anchors, boxes, hungarian, image, losses, nms, yolo
+from .boxes import (aligned_iou, batch_distance2bbox, bbox2delta, bbox2distance,
+                    bbox_iou, box_area, clip_boxes, delta2bbox, distance2bbox,
+                    pairwise_iou, xywh2xyxy, xyxy2xywh)
+from .image import (interpolate, max_pool2d_with_argmax, max_unpool2d, pad2d,
+                    resize, unfold)
+from .losses import (binary_cross_entropy, cross_entropy, dice_loss, giou_loss,
+                     l1_loss, mse_loss, sigmoid_focal_loss,
+                     smooth_l1_loss, softmax_cross_entropy, varifocal_loss)
+from .nms import batched_class_nms, multiclass_nms, nms
+from .yolo import yolo_box
