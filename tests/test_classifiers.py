@@ -1,0 +1,58 @@
+"""Smoke + shape tests for the classifier zoo: build, forward, grad-able."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tlxcv_tpu.core import pure, split
+from tlxcv_tpu.models import classification as C
+
+FACTORIES = [
+    ("resnet18", C.resnet18, 96),
+    ("resnet50", C.resnet50, 96),
+    ("resnext50_32x4d", C.resnext50_32x4d, 96),
+    ("wide_resnet50_2", C.wide_resnet50_2, 96),
+    ("vgg11", lambda **k: C.vgg11(batch_norm=True, **k), 96),
+    ("alexnet", C.alexnet, 128),
+    ("mobilenet_v1", C.mobilenet_v1, 96),
+    ("mobilenet_v2", C.mobilenet_v2, 96),
+    ("mobilenet_v3_small", C.mobilenet_v3_small, 96),
+    ("mobilenet_v3_large", C.mobilenet_v3_large, 96),
+    ("efficientnet_b0", C.efficientnet_b0, 96),
+    ("densenet121", C.densenet121, 96),
+    ("googlenet", C.googlenet, 96),
+    ("shufflenet_v2_x0_5", C.shufflenet_v2_x0_5, 96),
+    ("squeezenet1_1", C.squeezenet1_1, 96),
+    ("vit_small", lambda **k: C.VisionTransformer(
+        img_size=96, patch_size=16, embed_dim=64, depth=2, num_heads=4, **k), 96),
+]
+
+
+@pytest.mark.parametrize("name,factory,size", FACTORIES,
+                         ids=[f[0] for f in FACTORIES])
+def test_classifier_forward(name, factory, size):
+    model = factory(num_classes=10)
+    params, state = split(model)
+    fwd = pure(model)
+    x = jnp.zeros((2, size, size, 3), jnp.float32)
+    out, _ = jax.jit(lambda p, s, x: fwd(p, s, x))(params, state, x)
+    assert out.shape == (2, 10)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vit_grads():
+    model = C.VisionTransformer(img_size=32, patch_size=8, embed_dim=32,
+                                depth=2, num_heads=2, num_classes=4,
+                                qkv_bias=True)
+    params, state = split(model)
+    fwd = pure(model)
+    x = jnp.ones((2, 32, 32, 3))
+
+    def loss(p):
+        out, _ = fwd(p, state, x)
+        return (out ** 2).sum()
+
+    g = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in g.values())
+    assert float(jnp.abs(g["pos_embed"]).sum()) > 0
+    assert float(jnp.abs(g["blocks/0/attn/qkv/weight"]).sum()) > 0

@@ -9,6 +9,8 @@ multi-chip sharding, and Pallas kernels on the hot paths.
 """
 __version__ = "0.1.0"
 
-from . import core, nn
+from . import core, data, models, nn, ops, parallel, tasks, train, utils
+from .train import Model, Trainer
 
-__all__ = ["core", "nn", "__version__"]
+__all__ = ["core", "data", "models", "nn", "ops", "parallel", "tasks",
+           "train", "utils", "Model", "Trainer", "__version__"]

@@ -236,16 +236,17 @@ def split(module) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
 # --------------------------------------------------------------------------
 # pure(): module method -> pure jittable function
 # --------------------------------------------------------------------------
-def pure(module: Module, method: str = "__call__"):
+def pure(module: Module, method: tp.Union[str, tp.Callable] = "__call__"):
     """Wrap ``module.method`` as a pure function.
 
+    ``method`` is a method name or a callable ``fn(module, *args, **kw)``.
     Returns ``fn(params, state, *args, training=False, rngs=None, **kw)
     -> (out, new_state)``.  ``params``/``state`` are flat path dicts as
     produced by :func:`split`.  The live module object is used as a
     structural template: traced values are bound into its Variable boxes
     for the duration of the call and the originals restored afterwards.
     """
-    fn = getattr(type(module), method)
+    fn = getattr(type(module), method) if isinstance(method, str) else method
     var_list = list(iter_variables(module))
     var_map = dict(var_list)
 

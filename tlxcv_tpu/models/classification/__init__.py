@@ -1,0 +1,23 @@
+from .alexnet import AlexNet, alexnet
+from .densenet import (DenseNet, densenet121, densenet161, densenet169,
+                       densenet201, densenet264)
+from .efficientnet import (EfficientNet, efficientnet_b0, efficientnet_b1,
+                           efficientnet_b2, efficientnet_b3, efficientnet_b4,
+                           efficientnet_b5, efficientnet_b6, efficientnet_b7)
+from .googlenet import GoogLeNet, googlenet
+from .mobilenetv1 import MobileNetV1, mobilenet_v1
+from .mobilenetv2 import MobileNetV2, mobilenet_v2
+from .mobilenetv3 import MobileNetV3, mobilenet_v3_large, mobilenet_v3_small
+from .resnet import (ResNet, resnet18, resnet34, resnet50, resnet101,
+                     resnet152, resnext50_32x4d, resnext101_32x4d,
+                     resnext101_64x4d, wide_resnet50_2, wide_resnet101_2)
+from .shufflenetv2 import (ShuffleNetV2, shufflenet_v2_x0_25,
+                           shufflenet_v2_x0_33, shufflenet_v2_x0_5,
+                           shufflenet_v2_x1_0, shufflenet_v2_x1_5,
+                           shufflenet_v2_x2_0)
+from .squeezenet import SqueezeNet, squeezenet1_0, squeezenet1_1
+from .vgg import VGG, vgg11, vgg13, vgg16, vgg19
+from .vision_transformer import (VisionTransformer, vit_base_patch16_224,
+                                 vit_base_patch16_384, vit_base_patch32_384,
+                                 vit_large_patch16_224, vit_large_patch16_384,
+                                 vit_large_patch32_384, vit_small_patch16_224)

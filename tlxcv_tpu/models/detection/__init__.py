@@ -1,0 +1,2 @@
+from .backbones.darknet import DarkNet, darknet53
+from .yolov3 import YOLOv3, YOLOv3FPN, YOLOv3Head, YOLOv3Loss, gt2yolo_targets

@@ -1,0 +1,303 @@
+"""YOLOv3 — TPU-native detection vertical.
+
+Rebuild of reference tlxcv/models/detection/yolov3.py (YOLOv3 :23,
+YoloDetBlock :122, YOLOv3FPN :186, YOLOv3Head :261, YOLOv3Loss :387,
+Gt2YoloTarget :582) with the TPU-first changes from SURVEY.md §7 step 5:
+
+- **Vectorized on-device target assignment** (:func:`gt2yolo_targets`)
+  replacing the reference's per-GT host numpy loops (yolov3.py:608-684):
+  one IoU-argmax + scatter per level, fully inside jit.
+- Static-shape eval path: yolo_box decode + padded multiclass NMS in the
+  same jit (escape #1/#2 replaced by tlxcv_tpu.ops).
+- Targets are padded tensors: boxes [B, M, 4] normalized cxcywh,
+  classes [B, M] int32, scores [B, M] (0 padding ⇒ invalid).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ... import nn
+from ...core.module import is_training
+from ...ops import multiclass_nms, pairwise_iou, yolo_box
+from .backbones.darknet import ConvBNLayer, DarkNet
+
+__all__ = ["YOLOv3", "YOLOv3FPN", "YOLOv3Head", "YOLOv3Loss",
+           "gt2yolo_targets"]
+
+DEFAULT_ANCHORS = ((10, 13), (16, 30), (33, 23), (30, 61), (62, 45),
+                   (59, 119), (116, 90), (156, 198), (373, 326))
+DEFAULT_MASKS = ((6, 7, 8), (3, 4, 5), (0, 1, 2))
+DOWNSAMPLES = (32, 16, 8)
+
+
+class YoloDetBlock(nn.Module):
+    def __init__(self, ch_in, channel):
+        assert channel % 2 == 0
+        defs = [(ch_in, channel, 1), (channel, channel * 2, 3),
+                (channel * 2, channel, 1), (channel, channel * 2, 3),
+                (channel * 2, channel, 1)]
+        self.conv_module = nn.Sequential(*[
+            ConvBNLayer(ci, co, k, padding=(k - 1) // 2) for ci, co, k in defs])
+        self.tip = ConvBNLayer(channel, channel * 2, 3, padding=1)
+
+    def __call__(self, x):
+        route = self.conv_module(x)
+        return route, self.tip(route)
+
+
+class YOLOv3FPN(nn.Module):
+    """Top-down FPN; upsample is 2x nearest (escape #4 → ops.interpolate)."""
+
+    def __init__(self, in_channels=(256, 512, 1024)):
+        self.num_blocks = len(in_channels)
+        self.yolo_blocks = []
+        self.routes = []
+        self.out_channels = []
+        for i, ch in enumerate(reversed(in_channels)):
+            if i > 0:
+                ch += 512 // (2 ** i)
+            channel = 512 // (2 ** i)
+            self.yolo_blocks.append(YoloDetBlock(ch, channel))
+            self.out_channels.append(channel * 2)
+            if i < self.num_blocks - 1:
+                self.routes.append(ConvBNLayer(channel, channel // 2, 1))
+
+    def __call__(self, feats):
+        feats = feats[::-1]  # deepest first
+        outs = []
+        route = None
+        for i, x in enumerate(feats):
+            if i > 0:
+                x = jnp.concatenate([route, x], axis=-1)
+            route, tip = self.yolo_blocks[i](x)
+            outs.append(tip)
+            if i < self.num_blocks - 1:
+                route = self.routes[i](route)
+                n, h, w, c = route.shape
+                route = jax.image.resize(route, (n, h * 2, w * 2, c), "nearest")
+        return outs
+
+
+class YOLOv3Head(nn.Module):
+    def __init__(self, in_channels=(1024, 512, 256), anchors=DEFAULT_ANCHORS,
+                 anchor_masks=DEFAULT_MASKS, num_classes=80):
+        self.num_classes = num_classes
+        self.anchors = [[tuple(anchors[i]) for i in mask] for mask in anchor_masks]
+        self.mask_anchors = [sum(([*anchors[i]] for i in mask), [])
+                             for mask in anchor_masks]
+        self.yolo_outputs = [
+            nn.Conv2d(ch, len(m) * (num_classes + 5), 1)
+            for ch, m in zip(in_channels, anchor_masks)]
+
+    def __call__(self, feats):
+        return [conv(f) for conv, f in zip(self.yolo_outputs, feats)]
+
+
+# --------------------------------------------------------------------------
+# Vectorized target assignment (replaces Gt2YoloTarget host loops)
+# --------------------------------------------------------------------------
+def gt2yolo_targets(gt_boxes, gt_class, gt_score, anchors, anchor_masks,
+                    downsamples, input_hw, num_classes):
+    """Assign each GT to its best-IoU anchor and stamp per-level targets.
+
+    Args:
+      gt_boxes: [B, M, 4] normalized (cx, cy, w, h); zero-area = padding.
+      gt_class: [B, M] int32.
+      gt_score: [B, M] float (0 ⇒ invalid).
+    Returns:
+      list per level of [B, gh, gw, na, 6+nc] targets
+      (tx, ty, tw, th, tscale, tobj, onehot-class) — exact semantics of
+      reference Gt2YoloTarget (yolov3.py:628-672) without the loops.
+    """
+    h, w = input_hw
+    anchors = jnp.asarray(anchors, jnp.float32)  # [A, 2] pixels
+    an_hw = anchors / jnp.asarray([w, h], jnp.float32)
+
+    gx, gy = gt_boxes[..., 0], gt_boxes[..., 1]
+    gw, gh = gt_boxes[..., 2], gt_boxes[..., 3]
+    valid = (gw > 0) & (gh > 0) & (gt_score > 0)
+
+    # wh-only IoU against all anchors: [B, M, A]
+    inter = (jnp.minimum(gw[..., None], an_hw[None, None, :, 0]) *
+             jnp.minimum(gh[..., None], an_hw[None, None, :, 1]))
+    union = (gw * gh)[..., None] + an_hw[:, 0] * an_hw[:, 1] - inter
+    best_idx = jnp.argmax(inter / (union + 1e-9), axis=-1)  # [B, M]
+
+    b, m = gt_boxes.shape[:2]
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m))
+    targets = []
+    for mask, ds in zip(anchor_masks, downsamples):
+        grid_h, grid_w = round(h / ds), round(w / ds)
+        mask_arr = jnp.asarray(mask)
+        # position of best anchor within this level's mask, -1 if absent
+        in_level = best_idx[..., None] == mask_arr  # [B, M, na]
+        best_n = jnp.argmax(in_level, axis=-1)
+        assigned = in_level.any(-1) & valid
+
+        gi = jnp.round(gx * (grid_w - 1)).astype(jnp.int32)
+        gj = jnp.round(gy * (grid_h - 1)).astype(jnp.int32)
+        aw = anchors[best_idx][..., 0]
+        ah = anchors[best_idx][..., 1]
+        tx = gx * grid_w - gi
+        ty = gy * grid_h - gj
+        tw = jnp.log(jnp.maximum(gw * w, 1e-9) / aw)
+        th = jnp.log(jnp.maximum(gh * h, 1e-9) / ah)
+        tscale = 2.0 - gw * gh
+        onehot = jax.nn.one_hot(gt_class, num_classes, dtype=jnp.float32)
+        vals = jnp.concatenate([
+            jnp.stack([tx, ty, tw, th, tscale, gt_score], -1), onehot], -1)
+
+        target = jnp.zeros((b, grid_h, grid_w, len(mask), 6 + num_classes),
+                           jnp.float32)
+        # drop unassigned GTs by pushing their row index out of bounds
+        gj_s = jnp.where(assigned, gj, grid_h)
+        target = target.at[batch_idx, gj_s, gi, best_n].set(vals, mode="drop")
+        targets.append(target)
+    return targets
+
+
+def _decode_level(txy_twh, anchors, ds, grid_hw):
+    """Decode raw (x, y, w, h) logits to normalized cxcywh boxes
+    (reference bbox_utils.decode_yolo:204)."""
+    gh, gw = grid_hw
+    x, y, tw, th = (txy_twh[..., 0], txy_twh[..., 1],
+                    txy_twh[..., 2], txy_twh[..., 3])
+    gx = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (gh, gw), 0)
+    cx = (jax.nn.sigmoid(x) + gx[None, :, :, None]) / gw
+    cy = (jax.nn.sigmoid(y) + gy[None, :, :, None]) / gh
+    an = jnp.asarray(anchors, jnp.float32)
+    bw = jnp.exp(tw) * an[:, 0] / (ds * gw)
+    bh = jnp.exp(th) * an[:, 1] / (ds * gh)
+    return jnp.stack([cx, cy, bw, bh], -1)
+
+
+class YOLOv3Loss(nn.Module):
+    """Fine-grained YOLOv3 loss (reference YOLOv3Loss :387-538)."""
+
+    def __init__(self, num_classes=80, ignore_thresh=0.7, label_smooth=False,
+                 downsamples=DOWNSAMPLES):
+        self.num_classes = num_classes
+        self.ignore_thresh = ignore_thresh
+        self.label_smooth = label_smooth
+        self.downsamples = downsamples
+
+    def __call__(self, head_outs, targets_per_level, gt_boxes, anchors):
+        total = 0.0
+        for p, t, anchor, ds in zip(head_outs, targets_per_level, anchors,
+                                    self.downsamples):
+            total = total + self._level_loss(p, t, gt_boxes, anchor, ds)
+        return total
+
+    def _level_loss(self, p, t, gt_box, anchor, ds):
+        b, h, w, c = p.shape
+        na = len(anchor)
+        p = p.reshape(b, h, w, na, -1)
+        x, y, pw, ph, obj = (p[..., 0], p[..., 1], p[..., 2], p[..., 3],
+                             p[..., 4])
+        pcls = p[..., 5:]
+        tx, ty, tw, th, tscale, tobj = (t[..., 0], t[..., 1], t[..., 2],
+                                        t[..., 3], t[..., 4], t[..., 5])
+        tcls = t[..., 6:]
+        tscale_obj = tscale * tobj
+
+        sx, sy = jax.nn.sigmoid(x), jax.nn.sigmoid(y)
+        bce = lambda logit, label: (jnp.maximum(logit, 0) - logit * label +
+                                    jnp.log1p(jnp.exp(-jnp.abs(logit))))
+        # xy: BCE of sigmoid output against fractional target (probability
+        # form, matching tlx.losses.binary_cross_entropy on probabilities)
+        eps = 1e-9
+        bce_prob = lambda prob, label: -(label * jnp.log(prob + eps) +
+                                         (1 - label) * jnp.log(1 - prob + eps))
+        loss_xy = tscale_obj * (bce_prob(sx, tx) + bce_prob(sy, ty))
+        loss_xy = loss_xy.reshape(b, -1).sum(-1).mean()
+        loss_wh = tscale_obj * (jnp.abs(pw - tw) + jnp.abs(ph - th))
+        loss_wh = loss_wh.reshape(b, -1).sum(-1).mean()
+
+        # objectness with ignore mask: decoded boxes vs all GT
+        pbox = _decode_level(jnp.stack([x, y, pw, ph], -1), anchor, ds, (h, w))
+        pbox = pbox.reshape(b, -1, 4)
+        pxyxy = jnp.concatenate([pbox[..., :2] - pbox[..., 2:] * 0.5,
+                                 pbox[..., :2] + pbox[..., 2:] * 0.5], -1)
+        gxyxy = jnp.concatenate([gt_box[..., :2] - gt_box[..., 2:] * 0.5,
+                                 gt_box[..., :2] + gt_box[..., 2:] * 0.5], -1)
+        iou = pairwise_iou(jax.lax.stop_gradient(pxyxy), gxyxy)  # [B, A, M]
+        iou_max = jnp.max(iou, axis=-1)
+        ignore = (iou_max <= self.ignore_thresh).astype(p.dtype)
+        obj_flat = obj.reshape(b, -1)
+        tobj_flat = tobj.reshape(b, -1)
+        obj_mask = (tobj_flat > 0).astype(p.dtype)
+        loss_obj = bce(obj_flat, obj_mask)
+        loss_obj = (loss_obj * tobj_flat +
+                    loss_obj * (1 - obj_mask) * ignore)
+        loss_obj = loss_obj.sum(-1).mean()
+
+        if self.label_smooth:
+            delta = min(1.0 / self.num_classes, 1.0 / 40)
+            tcls = jnp.where(tcls > 0, 1 - delta, delta)
+        loss_cls = (bce(pcls, tcls) * tobj[..., None]).reshape(b, -1).sum(-1).mean()
+        return loss_xy + loss_wh + loss_obj + loss_cls
+
+
+class YOLOv3(nn.Module):
+    """Full detector.  Train: ``loss_fn(head_outs, targets)``.
+    Eval: ``__call__`` returns ``(dets [B, K, 6], counts [B])`` with rows
+    [label, score, x1, y1, x2, y2] in input-image pixels."""
+
+    def __init__(self, num_classes=80, anchors=DEFAULT_ANCHORS,
+                 anchor_masks=DEFAULT_MASKS, score_threshold=0.01,
+                 nms_threshold=0.5, nms_top_k=1000, keep_top_k=100):
+        self.backbone = DarkNet()
+        self.neck = YOLOv3FPN(in_channels=self.backbone.out_channels)
+        self.yolo_head = YOLOv3Head(in_channels=self.neck.out_channels,
+                                    anchors=anchors, anchor_masks=anchor_masks,
+                                    num_classes=num_classes)
+        self.loss = YOLOv3Loss(num_classes=num_classes)
+        self.num_classes = num_classes
+        self.anchors = anchors
+        self.anchor_masks = anchor_masks
+        self.nms_cfg = dict(score_threshold=score_threshold,
+                            nms_threshold=nms_threshold, nms_top_k=nms_top_k,
+                            keep_top_k=keep_top_k)
+
+    def head_outputs(self, images):
+        return self.yolo_head(self.neck(self.backbone(images)))
+
+    def __call__(self, images):
+        outs = self.head_outputs(images)
+        if is_training():
+            return {"head_outs": outs, "input_hw": images.shape[1:3]}
+        return self.post_process(outs, images.shape[1:3])
+
+    def loss_fn(self, outputs, targets):
+        """targets: dict with boxes [B,M,4] norm cxcywh, class_labels [B,M],
+        optional scores [B,M]."""
+        gt_boxes = targets["boxes"]
+        gt_class = targets["class_labels"].astype(jnp.int32)
+        gt_score = targets.get("scores")
+        if gt_score is None:
+            gt_score = (gt_boxes[..., 2] > 0).astype(jnp.float32)
+        tgt = gt2yolo_targets(
+            gt_boxes, gt_class, gt_score, self.anchors, self.anchor_masks,
+            self.loss.downsamples, outputs["input_hw"], self.num_classes)
+        return self.loss(outputs["head_outs"], tgt, gt_boxes,
+                         self.yolo_head.anchors)
+
+    def post_process(self, head_outs, input_hw):
+        """On-device decode + NMS, all static shapes (BASELINE config #3)."""
+        h, w = input_hw
+        n = head_outs[0].shape[0]
+        img_size = jnp.broadcast_to(jnp.asarray([[h, w]], jnp.int32), (n, 2))
+        boxes_all, scores_all = [], []
+        for out, mask_anchor, ds in zip(head_outs, self.yolo_head.mask_anchors,
+                                        DOWNSAMPLES):
+            bx, sc = yolo_box(out, img_size, mask_anchor, self.num_classes,
+                              conf_thresh=0.005, downsample_ratio=ds)
+            boxes_all.append(bx)
+            scores_all.append(sc)
+        boxes = jnp.concatenate(boxes_all, axis=1)
+        scores = jnp.concatenate(scores_all, axis=1)
+        return multiclass_nms(boxes, scores, **self.nms_cfg)

@@ -371,7 +371,9 @@ def _pool(x, kind, window, stride, padding, nd=2):
         p = _pair(padding) if nd == 2 else (padding,) * nd if isinstance(padding, int) else tuple(padding)
         pads = [(0, 0)] + [(pi, pi) for pi in p] + [(0, 0)]
     if kind == "max":
-        neg = (jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating)
+        # -inf init makes JAX lower this to reduce_window_max, which has a
+        # select-and-scatter VJP (finfo.min would block autodiff)
+        neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
                else jnp.iinfo(x.dtype).min)
         return lax.reduce_window(x, neg, lax.max, dims, strides, pads)
     # average pooling that excludes padding (torch count_include_pad=False ≈

@@ -56,10 +56,10 @@ def yolo_box(x, img_size, anchors, class_num: int, conf_thresh: float = 0.005,
     x2 = (cx + bw * 0.5) * img_w
     y2 = (cy + bh * 0.5) * img_h
     if clip_bbox:
-        x1 = jnp.clip(x1, 0.0)
-        y1 = jnp.clip(y1, 0.0)
-        x2 = jnp.minimum(x2, img_w - 1.0)
-        y2 = jnp.minimum(y2, img_h - 1.0)
+        x1 = jnp.clip(x1, 0.0, img_w - 1.0)
+        y1 = jnp.clip(y1, 0.0, img_h - 1.0)
+        x2 = jnp.clip(x2, 0.0, img_w - 1.0)
+        y2 = jnp.clip(y2, 0.0, img_h - 1.0)
     boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
 
     keep = obj >= conf_thresh  # [n, h, w, na, 1] — broadcasts over the 4 coords

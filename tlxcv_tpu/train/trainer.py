@@ -1,0 +1,182 @@
+"""Jit-compiled Trainer.
+
+Replaces the reference's eager per-op train loops (`tlx.model.Model` and
+the custom Trainer at reference tasks/human_pose_estimation.py:399-566):
+one compiled ``train_step(params, state, opt_state, batch)`` per model,
+batch sharded over the mesh's 'data' axis, gradients averaged by XLA
+collectives (SURVEY.md §3.1 "TPU equivalent").
+
+User surface stays source-compatible with the reference demos:
+
+    trainer = Trainer(network=model, loss_fn=model.loss_fn,
+                      optimizer=optax.adam(1e-4), metrics=Accuracy())
+    trainer.train(n_epoch=..., train_dataset=loader, test_dataset=loader)
+"""
+from __future__ import annotations
+
+import time
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.module import Module, Rngs, load_state_dict, pure, split
+from ..parallel.mesh import data_parallel_shardings, get_mesh, make_mesh
+from ..utils.metrics import Metric
+
+
+class Trainer:
+    """Generic trainer; alias `Model` keeps reference-demo spelling."""
+
+    def __init__(self, network: Module, loss_fn=None, optimizer=None,
+                 metrics: tp.Optional[Metric] = None, mesh=None, seed: int = 0,
+                 loss_has_aux: bool = False):
+        self.network = network
+        self.loss_fn = loss_fn if loss_fn is not None else network.loss_fn
+        self.optimizer = optimizer if optimizer is not None else optax.adam(1e-3)
+        self.metrics = metrics
+        self.loss_has_aux = loss_has_aux
+        try:
+            self.mesh = get_mesh(mesh)
+        except Exception:
+            self.mesh = make_mesh(1, 1)
+
+        self.params, self.state = split(network)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+        self._key = jax.random.key(seed)
+
+        loss_fn = self.loss_fn
+
+        def _train_call(module, x, y):
+            out = module(x)
+            loss = loss_fn(out, y)
+            if isinstance(loss, tuple):
+                loss, out = loss[0], loss[1]
+            return loss, out
+
+        self._loss_pure = pure(network, _train_call)
+        self._fwd_pure = pure(network)
+
+        repl, shard = data_parallel_shardings(self.mesh)
+        optimizer = self.optimizer
+        loss_pure = self._loss_pure
+
+        @jax.jit
+        def train_step(params, state, opt_state, x, y, key):
+            def lf(p):
+                (loss, out), new_state = loss_pure(
+                    p, state, x, y, training=True, rngs=Rngs(key))
+                return loss, (out, new_state)
+
+            (loss, (out, new_state)), grads = jax.value_and_grad(
+                lf, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_state, opt_state, loss, out
+
+        @jax.jit
+        def eval_step(params, state, x):
+            out, _ = pure(network)(params, state, x, training=False)
+            return out
+
+        @jax.jit
+        def eval_loss_step(params, state, x, y):
+            (loss, out), _ = loss_pure(params, state, x, y, training=False)
+            return loss, out
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+        self._eval_loss_step = eval_loss_step
+        self._shard = shard
+        self._repl = repl
+
+    # ------------------------------------------------------------------
+    def _put_batch(self, batch):
+        def put(x):
+            x = jnp.asarray(x)
+            if x.ndim >= 1 and x.shape[0] % self.mesh.shape["data"] == 0:
+                return jax.device_put(x, self._shard)
+            return jax.device_put(x, self._repl)
+        return jax.tree_util.tree_map(put, batch)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    def train(self, n_epoch: int, train_dataset, test_dataset=None,
+              print_freq: int = 1, print_train_batch: bool = False,
+              max_steps_per_epoch: tp.Optional[int] = None):
+        for epoch in range(n_epoch):
+            t0 = time.time()
+            losses = []
+            if self.metrics is not None:
+                self.metrics.reset()
+            for bi, (x, y) in enumerate(train_dataset):
+                if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
+                    break
+                x, y = self._put_batch((x, y))
+                (self.params, self.state, self.opt_state, loss, out
+                 ) = self._train_step(self.params, self.state, self.opt_state,
+                                      x, y, self._next_key())
+                self.step += 1
+                losses.append(loss)
+                if self.metrics is not None:
+                    self.metrics.update(np.asarray(out), np.asarray(y))
+                if print_train_batch:
+                    print(f"epoch {epoch + 1} batch {bi} "
+                          f"loss {float(loss):.4f}")
+            if (epoch + 1) % print_freq == 0:
+                mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+                msg = (f"Epoch {epoch + 1} of {n_epoch} took "
+                       f"{time.time() - t0:.2f}s | train loss: {mean_loss:.4f}")
+                if self.metrics is not None:
+                    msg += f" | train acc: {self.metrics.result():.4f}"
+                print(msg)
+                if test_dataset is not None:
+                    print(f"   val: {self.evaluate(test_dataset)}")
+        self._sync_to_network()
+        return self
+
+    def evaluate(self, dataset, max_batches: tp.Optional[int] = None):
+        losses = []
+        if self.metrics is not None:
+            self.metrics.reset()
+        for bi, (x, y) in enumerate(dataset):
+            if max_batches is not None and bi >= max_batches:
+                break
+            x, y = self._put_batch((x, y))
+            loss, out = self._eval_loss_step(self.params, self.state, x, y)
+            losses.append(loss)
+            if self.metrics is not None:
+                self.metrics.update(np.asarray(out), np.asarray(y))
+        result = {"loss": float(jnp.mean(jnp.stack(losses))) if losses else 0.0}
+        if self.metrics is not None:
+            result["metric"] = self.metrics.result()
+        return result
+
+    def predict(self, inputs):
+        x = jnp.asarray(inputs)
+        return self._eval_step(self.params, self.state, x)
+
+    # ------------------------------------------------------------------
+    def _sync_to_network(self):
+        """Write trained arrays back into the live module (for
+        network.save_weights / eager use)."""
+        merged = {**self.params, **self.state}
+        load_state_dict(self.network, merged, strict=False)
+
+    def save_weights(self, path: str):
+        self._sync_to_network()
+        self.network.save_weights(path)
+
+    def load_weights(self, path: str):
+        self.network.load_weights(path)
+        self.params, self.state = split(self.network)
+        self.opt_state = self.optimizer.init(self.params)
+
+
+Model = Trainer  # reference spelling: tlx.model.Model

