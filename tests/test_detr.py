@@ -1,0 +1,82 @@
+"""DETR: frozen BN, matcher-based loss, grads, eval decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tlxcv_tpu.core import Param, pure, split
+from tlxcv_tpu.models.detection.detr import Detr, DetrLoss
+
+
+@pytest.fixture(scope="module")
+def tiny_detr():
+    return Detr(num_classes=5, num_queries=8, dim=32, heads=2, enc_layers=1,
+                dec_layers=2, ffn=64, dropout=0.0)
+
+
+def test_frozen_bn_not_in_params(tiny_detr):
+    params, state = split(tiny_detr)
+    assert not any("running_mean" in k for k in params)
+    # frozen BN weight/bias are state, not trainables
+    assert any(k.endswith("bn1/weight") for k in state)
+    assert not any(k.endswith("bn1/weight") for k in params)
+
+
+def test_detr_loss_and_grads(tiny_detr, rng):
+    model = tiny_detr
+    params, state = split(model)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    boxes = np.zeros((2, 3, 4), np.float32)
+    boxes[:, :2, :2] = rng.uniform(0.3, 0.7, size=(2, 2, 2))
+    boxes[:, :2, 2:] = rng.uniform(0.1, 0.2, size=(2, 2, 2))
+    targets = {"boxes": jnp.asarray(boxes),
+               "class_labels": jnp.asarray(rng.integers(0, 5, size=(2, 3)),
+                                           jnp.int32),
+               "mask": jnp.asarray([[1, 1, 0], [1, 1, 0]], jnp.float32)}
+
+    def call(m, x, t):
+        out = m(x)
+        return m.loss_fn(out, t)
+
+    lp = pure(model, call)
+    loss, _ = jax.jit(lambda p, s: lp(p, s, x, targets, training=True))(params, state)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    g = jax.grad(lambda p: lp(p, state, x, targets, training=True)[0])(params)
+    gn = sum(float(jnp.abs(v).sum()) for v in g.values())
+    assert np.isfinite(gn) and gn > 0
+    assert float(jnp.abs(g["query_embed"]).sum()) > 0
+
+
+def test_detr_matcher_picks_best_query():
+    """Synthetic: queries already at GT positions -> matched 1:1, tiny loss."""
+    loss_mod = DetrLoss(num_classes=3)
+    q, m = 4, 2
+    gt_boxes = jnp.asarray([[[0.2, 0.2, 0.1, 0.1], [0.7, 0.7, 0.2, 0.2]]])
+    gt_labels = jnp.asarray([[0, 1]], jnp.int32)
+    mask = jnp.ones((1, m))
+    pred_boxes = jnp.asarray([[[0.7, 0.7, 0.2, 0.2], [0.5, 0.5, 0.5, 0.5],
+                               [0.2, 0.2, 0.1, 0.1], [0.9, 0.1, 0.1, 0.1]]])
+    logits = jnp.full((1, q, 4), -5.0)
+    logits = logits.at[0, 0, 1].set(5.0)   # query 0 -> class 1 (second gt)
+    logits = logits.at[0, 2, 0].set(5.0)   # query 2 -> class 0 (first gt)
+    logits = logits.at[0, 1, 3].set(5.0)   # others -> no-object
+    logits = logits.at[0, 3, 3].set(5.0)
+    loss = float(loss_mod(logits, pred_boxes,
+                          {"boxes": gt_boxes, "class_labels": gt_labels,
+                           "mask": mask}))
+    assert loss < 0.1, loss
+
+
+def test_detr_eval_predict(tiny_detr, rng):
+    model = tiny_detr
+    params, state = split(model)
+    fwd = pure(model)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    out, _ = jax.jit(lambda p, s, x: fwd(p, s, x))(params, state, x)
+    assert out["logits"].shape == (1, 8, 6)
+    assert out["boxes"].shape == (1, 8, 4)
+    labels, scores, boxes = model.predict_boxes(out, (64, 64))
+    assert boxes.shape == (1, 8, 4)
+    b = np.asarray(boxes)
+    assert (b[..., 2:] >= b[..., :2] - 1e-4).all()
