@@ -1,0 +1,7 @@
+from .cyclegan import CycleGANModel, NLayerDiscriminator, ResnetGenerator
+from .dcgan import DCDiscriminator, DCGANModel, DCGenerator
+from .layers import (EqualConv2d, EqualLinear, FusedLeakyReLU,
+                     Upfirdn2dBlur, Upfirdn2dDownsample, Upfirdn2dUpsample,
+                     fused_leaky_relu, upfirdn2d)
+from .registry import (DISCRIMINATORS, GENERATORS, MODELS, Registry,
+                       build_discriminator, build_generator)

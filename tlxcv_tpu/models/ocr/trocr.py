@@ -1,0 +1,237 @@
+"""TrOCR (reference tlxcv/models/ocr/{trocr.py, vit.py, trocr_decoder.py}):
+ViT encoder (vit.py:25-481 HF-style) + causal transformer decoder
+(trocr_decoder.py:13-530) with teacher-forcing loss (trocr.py:145-164).
+
+TPU-first change (SURVEY.md §3.5): greedy generation is a single jitted
+`lax.scan` with a KV cache — the reference re-runs the full decoder per
+token from a host python loop with no cache (trocr.py:166-185).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import nn
+from ...core import init as I
+from ...core.module import Module, Param
+from ...nn.attention import scaled_dot_product_attention
+
+__all__ = ["TrOCR", "ViTEncoder", "TrOCRDecoder"]
+
+NEG = -1e9
+
+
+class ViTEncoder(Module):
+    """Image encoder (HF ViTModel shape: cls token + patches, pre-LN)."""
+
+    def __init__(self, img_size=384, patch_size=16, embed_dim=384, depth=6,
+                 num_heads=6, mlp_ratio=4.0):
+        from ..classification.vision_transformer import Block, PatchEmbed
+
+        self.patch_embed = PatchEmbed(img_size, patch_size, 3, embed_dim)
+        n = self.patch_embed.num_patches
+        self.cls_token = Param(I.truncated_normal((1, 1, embed_dim), std=0.02))
+        self.pos_embed = Param(I.truncated_normal((1, n + 1, embed_dim), std=0.02))
+        self.blocks = [Block(embed_dim, num_heads, mlp_ratio, qkv_bias=True)
+                       for _ in range(depth)]
+        self.norm = nn.LayerNorm(embed_dim)
+        self.embed_dim = embed_dim
+
+    def __call__(self, x):
+        b = x.shape[0]
+        x = self.patch_embed(x)
+        cls = jnp.broadcast_to(self.cls_token.value.astype(x.dtype),
+                               (b, 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], 1) + self.pos_embed.value.astype(x.dtype)
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)
+
+
+class CrossAttention(Module):
+    def __init__(self, dim, num_heads):
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.q = nn.Linear(dim, dim)
+        self.k = nn.Linear(dim, dim)
+        self.v = nn.Linear(dim, dim)
+        self.out = nn.Linear(dim, dim)
+
+    def _split(self, x):
+        b, n, _ = x.shape
+        return x.reshape(b, n, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+    def __call__(self, x, memory, mask=None):
+        o = scaled_dot_product_attention(
+            self._split(self.q(x)), self._split(self.k(memory)),
+            self._split(self.v(memory)), mask=mask)
+        b, h, n, d = o.shape
+        return self.out(o.transpose(0, 2, 1, 3).reshape(b, n, h * d))
+
+
+class SelfAttentionKV(Module):
+    """Causal self-attention that can also run one-step with a KV cache."""
+
+    def __init__(self, dim, num_heads):
+        self.num_heads = num_heads
+        self.head_dim = dim // num_heads
+        self.q = nn.Linear(dim, dim)
+        self.k = nn.Linear(dim, dim)
+        self.v = nn.Linear(dim, dim)
+        self.out = nn.Linear(dim, dim)
+
+    def _split(self, x):
+        b, n, _ = x.shape
+        return x.reshape(b, n, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+    def full(self, x):
+        n = x.shape[1]
+        causal = jnp.triu(jnp.full((n, n), NEG, x.dtype), k=1)
+        o = scaled_dot_product_attention(
+            self._split(self.q(x)), self._split(self.k(x)),
+            self._split(self.v(x)), mask=causal)
+        b, h, n, d = o.shape
+        return self.out(o.transpose(0, 2, 1, 3).reshape(b, n, h * d))
+
+    def step(self, x_t, cache_k, cache_v, pos):
+        """x_t [B, 1, D]; cache [B, H, T, d]; pos scalar index."""
+        q = self._split(self.q(x_t))            # [B, H, 1, d]
+        k_t = self._split(self.k(x_t))
+        v_t = self._split(self.v(x_t))
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, 0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, 0, pos, 0))
+        t = cache_k.shape[2]
+        mask = jnp.where(jnp.arange(t)[None, None, None, :] <= pos, 0.0, NEG)
+        o = scaled_dot_product_attention(q, cache_k, cache_v, mask=mask)
+        b, h, n, d = o.shape
+        return self.out(o.transpose(0, 2, 1, 3).reshape(b, 1, h * d)), cache_k, cache_v
+
+
+class DecoderLayer(Module):
+    def __init__(self, dim, num_heads, ffn_dim):
+        self.self_attn = SelfAttentionKV(dim, num_heads)
+        self.norm1 = nn.LayerNorm(dim)
+        self.cross_attn = CrossAttention(dim, num_heads)
+        self.norm2 = nn.LayerNorm(dim)
+        self.fc1 = nn.Linear(dim, ffn_dim)
+        self.fc2 = nn.Linear(ffn_dim, dim)
+        self.norm3 = nn.LayerNorm(dim)
+
+    def full(self, x, memory):
+        x = self.norm1(x + self.self_attn.full(x))
+        x = self.norm2(x + self.cross_attn(x, memory))
+        return self.norm3(x + self.fc2(nn.gelu(self.fc1(x))))
+
+    def step(self, x_t, memory, ck, cv, pos):
+        y, ck, cv = self.self_attn.step(x_t, ck, cv, pos)
+        x_t = self.norm1(x_t + y)
+        x_t = self.norm2(x_t + self.cross_attn(x_t, memory))
+        return self.norm3(x_t + self.fc2(nn.gelu(self.fc1(x_t)))), ck, cv
+
+
+class TrOCRDecoder(Module):
+    """Causal LM decoder with learned positions (BART-style +2 offset,
+    reference trocr_decoder.py:60)."""
+
+    def __init__(self, vocab_size=64044, dim=256, depth=6, num_heads=8,
+                 ffn_dim=1024, max_positions=128, pad_token_id=1):
+        self.embed_tokens = nn.Embedding(vocab_size, dim)
+        self.embed_positions = nn.Embedding(max_positions + 2, dim)
+        self.embed_scale = math.sqrt(dim)
+        self.layernorm_embedding = nn.LayerNorm(dim)
+        self.layers = [DecoderLayer(dim, num_heads, ffn_dim)
+                       for _ in range(depth)]
+        self.output_projection = nn.Linear(dim, vocab_size, bias=False)
+        self.dim = dim
+        self.num_heads = num_heads
+        self.max_positions = max_positions
+        self.vocab_size = vocab_size
+
+    def _embed(self, ids, positions):
+        x = self.embed_tokens(ids) * self.embed_scale
+        x = x + self.embed_positions(positions + 2)
+        return self.layernorm_embedding(x)
+
+    def __call__(self, input_ids, memory):
+        n = input_ids.shape[1]
+        x = self._embed(input_ids, jnp.arange(n)[None, :])
+        for layer in self.layers:
+            x = layer.full(x, memory)
+        return self.output_projection(x)
+
+    def init_cache(self, batch, max_len, dtype=jnp.float32):
+        hd = self.dim // self.num_heads
+        shape = (batch, self.num_heads, max_len, hd)
+        return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                for _ in self.layers]
+
+    def decode_step(self, token, pos, memory, cache):
+        x = self._embed(token[:, None], pos[None, None])
+        new_cache = []
+        for layer, (ck, cv) in zip(self.layers, cache):
+            x, ck, cv = layer.step(x, memory, ck, cv, pos)
+            new_cache.append((ck, cv))
+        return self.output_projection(x)[:, 0], new_cache
+
+
+class TrOCR(Module):
+    def __init__(self, vocab_size=64044, encoder_dim=384, encoder_depth=6,
+                 encoder_heads=6, decoder_dim=256, decoder_depth=6,
+                 decoder_heads=8, img_size=384, patch_size=16,
+                 max_length=128, bos_token_id=0, pad_token_id=1,
+                 eos_token_id=2):
+        self.encoder = ViTEncoder(img_size, patch_size, encoder_dim,
+                                  encoder_depth, encoder_heads)
+        self.enc_to_dec = (nn.Linear(encoder_dim, decoder_dim)
+                           if encoder_dim != decoder_dim else nn.Identity())
+        self.decoder = TrOCRDecoder(vocab_size, decoder_dim, decoder_depth,
+                                    decoder_heads, decoder_dim * 4, max_length)
+        self.max_length = max_length
+        self.bos_token_id = bos_token_id
+        self.pad_token_id = pad_token_id
+        self.eos_token_id = eos_token_id
+
+    def encode(self, images):
+        return self.enc_to_dec(self.encoder(images))
+
+    def __call__(self, images, input_ids=None):
+        memory = self.encode(images)
+        if input_ids is None:
+            return self.generate(images, memory=memory)
+        return self.decoder(input_ids, memory)
+
+    def loss_fn(self, images, labels):
+        """Teacher forcing: input = [BOS, y..]; target = [y.., EOS]
+        with pad masking (reference trocr.py:145-164)."""
+        memory = self.encode(images)
+        b, n = labels.shape
+        bos = jnp.full((b, 1), self.bos_token_id, labels.dtype)
+        inputs = jnp.concatenate([bos, labels[:, :-1]], 1)
+        logits = self.decoder(inputs, memory)
+        mask = (labels != self.pad_token_id).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+        return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    def generate(self, images=None, memory=None):
+        """Greedy decode, one jitted lax.scan with KV cache."""
+        if memory is None:
+            memory = self.encode(images)
+        b = memory.shape[0]
+        cache = self.decoder.init_cache(b, self.max_length, memory.dtype)
+
+        def step(carry, pos):
+            token, cache, done = carry
+            logits, cache = self.decoder.decode_step(token, pos, memory, cache)
+            next_token = jnp.argmax(logits, -1).astype(jnp.int32)
+            next_token = jnp.where(done, self.pad_token_id, next_token)
+            done = done | (next_token == self.eos_token_id)
+            return (next_token, cache, done), next_token
+
+        init = (jnp.full((b,), self.bos_token_id, jnp.int32), cache,
+                jnp.zeros((b,), bool))
+        _, tokens = jax.lax.scan(step, init, jnp.arange(self.max_length))
+        return jnp.transpose(tokens)  # [B, T]

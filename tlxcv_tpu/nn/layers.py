@@ -22,7 +22,7 @@ from ..core.module import BatchStat, Module, Param, is_training, rng, has_rng
 
 __all__ = [
     "Conv2d", "ConvTranspose2d", "Conv3d", "Linear", "Embedding",
-    "BatchNorm", "BatchNorm2d", "LayerNorm", "GroupNorm",
+    "BatchNorm", "BatchNorm2d", "LayerNorm", "GroupNorm", "InstanceNorm",
     "MaxPool2d", "AvgPool2d", "MaxPool3d", "AvgPool3d",
     "AdaptiveAvgPool2d", "GlobalAvgPool2d",
     "Dropout", "DropPath", "Identity", "Sequential", "Activation",
@@ -326,6 +326,29 @@ class LayerNorm(Module):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * lax.rsqrt(var + self.eps)
+        if self.weight is not None:
+            y = y * self.weight.value + self.bias.value
+        return y.astype(x.dtype)
+
+
+class InstanceNorm(Module):
+    """Instance normalization over spatial dims (NHWC), used by the GAN
+    generators (PaddleGAN convention: no running stats)."""
+
+    def __init__(self, num_features, eps=1e-5, affine=True):
+        self.eps = eps
+        if affine:
+            self.weight = Param(I.ones((num_features,)))
+            self.bias = Param(I.zeros((num_features,)))
+        else:
+            self.weight = self.bias = None
+
+    def __call__(self, x):
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
         y = (xf - mean) * lax.rsqrt(var + self.eps)
         if self.weight is not None:
             y = y * self.weight.value + self.bias.value

@@ -1,0 +1,116 @@
+"""GAN trainer: alternating D/G updates in one jitted step
+(replaces the per-backend eager loops in reference demo/gan/train.py:24-120).
+
+Works with any model exposing ``__call__(real) -> fake`` plus
+``d_loss(real, fake)`` / ``g_loss(fake)`` (DCGAN-style) or paired
+``g_loss(real_a, real_b)`` / ``d_loss(real_a, real_b)`` (CycleGAN-style).
+Generator/discriminator params are split by path prefix (netG*/netD*).
+"""
+from __future__ import annotations
+
+import time
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.module import Module, Rngs, load_state_dict, pure, split
+
+
+class GANTrainer:
+    def __init__(self, network: Module, optimizer_g=None, optimizer_d=None,
+                 seed: int = 0):
+        self.network = network
+        self.opt_g = optimizer_g or optax.adam(2e-4, b1=0.5)
+        self.opt_d = optimizer_d or optax.adam(2e-4, b1=0.5)
+        params, self.state = split(network)
+        self.params_g = {k: v for k, v in params.items() if not k.startswith("netD")}
+        self.params_d = {k: v for k, v in params.items() if k.startswith("netD")}
+        self.og = self.opt_g.init(self.params_g)
+        self.od = self.opt_d.init(self.params_d)
+        self._key = jax.random.key(seed)
+
+        def d_call(m, real):
+            fake = m(real)
+            return m.d_loss(real, fake)
+
+        def g_call(m, real):
+            fake = m(real)
+            return m.g_loss(fake)
+
+        self._d_pure = pure(network, d_call)
+        self._g_pure = pure(network, g_call)
+
+        opt_g, opt_d = self.opt_g, self.opt_d
+        d_pure, g_pure = self._d_pure, self._g_pure
+
+        @jax.jit
+        def step(pg, pd, og, od, state, real, key):
+            kd, kg = jax.random.split(key)
+
+            def d_loss_fn(pd):
+                loss, new_state = d_pure({**pg, **pd}, state, real,
+                                         training=True, rngs=Rngs(noise=kd))
+                return loss, new_state
+
+            (dl, state), gd = jax.value_and_grad(d_loss_fn, has_aux=True)(pd)
+            gd = {k: v for k, v in gd.items() if k.startswith("netD")}
+            ud, od = opt_d.update(gd, od, pd)
+            pd = optax.apply_updates(pd, ud)
+
+            def g_loss_fn(pg):
+                loss, new_state = g_pure({**pg, **pd}, state, real,
+                                         training=True, rngs=Rngs(noise=kg))
+                return loss, new_state
+
+            (gl, state), gg = jax.value_and_grad(g_loss_fn, has_aux=True)(pg)
+            gg = {k: v for k, v in gg.items() if not k.startswith("netD")}
+            ug, og = opt_g.update(gg, og, pg)
+            pg = optax.apply_updates(pg, ug)
+            return pg, pd, og, od, state, dl, gl
+
+        self._step = step
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def train(self, n_epoch, train_dataset, print_freq=1,
+              max_steps_per_epoch=None):
+        for epoch in range(n_epoch):
+            t0 = time.time()
+            dls, gls = [], []
+            for bi, batch in enumerate(train_dataset):
+                if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
+                    break
+                real = jnp.asarray(batch[0] if isinstance(batch, (tuple, list))
+                                   else batch)
+                (self.params_g, self.params_d, self.og, self.od, self.state,
+                 dl, gl) = self._step(self.params_g, self.params_d, self.og,
+                                      self.od, self.state, real,
+                                      self._next_key())
+                dls.append(float(dl))
+                gls.append(float(gl))
+            if (epoch + 1) % print_freq == 0:
+                print(f"Epoch {epoch + 1}/{n_epoch} "
+                      f"({time.time() - t0:.1f}s) "
+                      f"D: {np.mean(dls):.4f} G: {np.mean(gls):.4f}")
+        self._sync_to_network()
+        return self
+
+    def generate(self, batch_or_noise):
+        fwd = pure(self.network)
+        out, _ = fwd({**self.params_g, **self.params_d}, self.state,
+                     jnp.asarray(batch_or_noise),
+                     rngs=Rngs(noise=self._next_key()))
+        return out
+
+    def _sync_to_network(self):
+        merged = {**self.params_g, **self.params_d, **self.state}
+        load_state_dict(self.network, merged, strict=False)
+
+    def save_weights(self, path):
+        self._sync_to_network()
+        self.network.save_weights(path)
