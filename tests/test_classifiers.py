@@ -25,6 +25,16 @@ FACTORIES = [
     ("squeezenet1_1", C.squeezenet1_1, 96),
     ("vit_small", lambda **k: C.VisionTransformer(
         img_size=96, patch_size=16, embed_dim=64, depth=2, num_heads=4, **k), 96),
+    ("swin_micro", lambda **k: C.SwinTransformer(
+        img_size=64, patch_size=4, embed_dim=24, depths=(1, 1, 2),
+        num_heads=(2, 2, 4), window_size=4, **k), 64),
+    ("convnext_micro", lambda **k: C.ConvNeXt(
+        depths=(1, 1, 2, 1), dims=(16, 32, 64, 128), **k), 64),
+    ("deit_micro", lambda **k: C.DistilledVisionTransformer(
+        img_size=64, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+        **k), 64),
+    ("regnetx", C.regnetx_4gf, 64),
+    ("xception", C.xception41, 96),
 ]
 
 

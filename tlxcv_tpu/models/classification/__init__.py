@@ -21,3 +21,11 @@ from .vision_transformer import (VisionTransformer, vit_base_patch16_224,
                                  vit_base_patch16_384, vit_base_patch32_384,
                                  vit_large_patch16_224, vit_large_patch16_384,
                                  vit_large_patch32_384, vit_small_patch16_224)
+from .convnext import (ConvNeXt, convnext_base, convnext_large,
+                       convnext_small, convnext_tiny)
+from .deit import DistilledVisionTransformer, deit_base, deit_small, deit_tiny
+from .inceptionv3 import InceptionV3, inception_v3
+from .regnet import RegNet, regnetx_4gf, regnety_4gf
+from .swin_transformer import (SwinTransformer, swin_base, swin_large,
+                               swin_small, swin_tiny, swin_transformer_base)
+from .xception import Xception, xception, xception41
