@@ -1,0 +1,148 @@
+"""COCO mAP evaluator, weight converter, dataset parsers (hermetic)."""
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tlxcv_tpu.utils.coco_eval import CocoEvaluator, compute_map
+
+
+def test_map_perfect_predictions(rng):
+    gts, preds = [], []
+    for _ in range(4):
+        boxes = np.abs(rng.normal(size=(3, 2)) * 20)
+        boxes = np.concatenate([boxes, boxes + 20], -1).astype(np.float32)
+        labels = rng.integers(0, 3, size=(3,))
+        gts.append({"boxes": boxes, "labels": labels})
+        preds.append({"boxes": boxes, "labels": labels,
+                      "scores": np.ones(3, np.float32)})
+    res = compute_map(preds, gts)
+    assert res["map"] == pytest.approx(1.0, abs=1e-6)
+    assert res["map50"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_map_degrades_with_misses(rng):
+    boxes = np.asarray([[0, 0, 10, 10], [20, 20, 40, 40.0]], np.float32)
+    labels = np.asarray([0, 0])
+    gts = [{"boxes": boxes, "labels": labels}]
+    # only first box predicted
+    preds = [{"boxes": boxes[:1], "labels": labels[:1],
+              "scores": np.ones(1, np.float32)}]
+    res = compute_map(preds, gts)
+    assert 0.4 < res["map"] < 0.6
+
+    ev = CocoEvaluator()
+    ev.update(preds, gts)
+    stats = ev.summarize()
+    assert stats["map"] == res["map"]
+
+
+def test_convert_by_order_torch_cnn(rng):
+    """Converter round-trip: torch CNN -> our CNN, outputs must match."""
+    import torch.nn as tnn
+
+    import tlxcv_tpu.nn as nn
+    from tlxcv_tpu.core import pure, split
+    from tlxcv_tpu.utils.convert import convert_by_order
+
+    tmodel = tnn.Sequential(
+        tnn.Conv2d(3, 8, 3, padding=1), tnn.BatchNorm2d(8), tnn.ReLU(),
+        tnn.Conv2d(8, 8, 3, padding=1, groups=8), tnn.BatchNorm2d(8),
+        tnn.ReLU(), tnn.AdaptiveAvgPool2d(1), tnn.Flatten(),
+        tnn.Linear(8, 5)).eval()
+
+    class Net(nn.Module):
+        def __init__(self):
+            self.conv1 = nn.Conv2d(3, 8, 3, padding=1)
+            self.bn1 = nn.BatchNorm(8)
+            self.conv2 = nn.Conv2d(8, 8, 3, padding=1, groups=8)
+            self.bn2 = nn.BatchNorm(8)
+            self.fc = nn.Linear(8, 5)
+
+        def __call__(self, x):
+            x = nn.relu(self.bn1(self.conv1(x)))
+            x = nn.relu(self.bn2(self.conv2(x)))
+            return self.fc(x.mean(axis=(1, 2)))
+
+    model = Net()
+    unmatched = convert_by_order(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+        model, source="torch")
+    assert not unmatched
+
+    x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(x)).numpy()
+    params, state = split(model)
+    out, _ = pure(model)(params, state,
+                         jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_coco_dataset_parser(tmp_path, rng):
+    from PIL import Image
+
+    from tlxcv_tpu.data.coco import CocoDetection
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(np.zeros((32, 48, 3), np.uint8)).save(
+            img_dir / f"{i}.jpg")
+    ann = {
+        "images": [{"id": 1, "file_name": "0.jpg", "width": 48, "height": 32},
+                   {"id": 2, "file_name": "1.jpg", "width": 48, "height": 32}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 7,
+             "bbox": [1, 2, 10, 10], "iscrowd": 0},
+            {"id": 2, "image_id": 1, "category_id": 9,
+             "bbox": [5, 5, 8, 8], "iscrowd": 0},
+            {"id": 3, "image_id": 2, "category_id": 7,
+             "bbox": [0, 0, 5, 5], "iscrowd": 1},
+        ],
+        "categories": [{"id": 7, "name": "a"}, {"id": 9, "name": "b"}],
+    }
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+
+    ds = CocoDetection(str(img_dir), str(ann_file))
+    assert len(ds) == 1  # image 2 is crowd-only -> filtered
+    img, target = ds[0]
+    assert img.shape == (32, 48, 3)
+    np.testing.assert_allclose(target["boxes"][0], [1, 2, 11, 12])
+    assert list(target["class_labels"]) == [0, 1]
+
+
+def test_wider_parser(tmp_path):
+    from tlxcv_tpu.data.wider import parse_wider_txt
+
+    txt = tmp_path / "label.txt"
+    txt.write_text(
+        "# a/b.jpg\n"
+        "10 20 30 40 1 2 0 3 4 0 5 6 0 7 8 0 9 10 0 0.9\n"
+        "# c/d.jpg\n"
+        "1 1 5 5 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 0.5\n")
+    samples = parse_wider_txt(str(txt))
+    assert len(samples) == 2
+    assert samples[0][0] == "a/b.jpg"
+    assert len(samples[0][1][0]) == 20
+
+
+def test_pdparams_loader_roundtrip(tmp_path):
+    """pdparams are pickled dicts of numpy arrays; loader must read them
+    without paddle."""
+    import pickle
+
+    from tlxcv_tpu.utils.convert import load_pdparams
+
+    sd = {"conv.weight": np.ones((4, 3, 3, 3), np.float32),
+          "bn._mean": np.zeros((4,), np.float32)}
+    path = tmp_path / "model.pdparams"
+    with open(path, "wb") as f:
+        pickle.dump(sd, f, protocol=2)
+    out = load_pdparams(str(path))
+    assert set(out) == set(sd)
+    np.testing.assert_allclose(out["conv.weight"], sd["conv.weight"])

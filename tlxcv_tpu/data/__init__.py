@@ -1,8 +1,16 @@
 from . import transforms
-from .circles import Circles
+from .casiawebface import CasiaWebFace
+from .charades import Charades
 from .cifar import Cifar10
+from .circles import Circles
+from .coco import CocoDetection, CocoHumanPoseEstimation, CocoIndex
+from .face300w import Face300W
 from .loader import DataLoader, default_collate
+from .synth90k import Synth90k
 from .vision import Dataset, StandardTransform, VisionDataset
+from .wider import Wider
 
-__all__ = ["transforms", "Circles", "Cifar10", "DataLoader",
-           "default_collate", "Dataset", "StandardTransform", "VisionDataset"]
+__all__ = ["transforms", "CasiaWebFace", "Charades", "Cifar10", "Circles",
+           "CocoDetection", "CocoHumanPoseEstimation", "CocoIndex",
+           "Face300W", "DataLoader", "default_collate", "Synth90k",
+           "Dataset", "StandardTransform", "VisionDataset", "Wider"]
