@@ -35,6 +35,14 @@ FACTORIES = [
         **k), 64),
     ("regnetx", C.regnetx_4gf, 64),
     ("xception", C.xception41, 96),
+    ("res2net50", C.res2net50_26w_4s, 64),
+    ("ghostnet", C.ghostnet, 64),
+    ("rednet26", C.rednet26, 64),
+    ("pp_lcnet", C.pp_lcnet, 64),
+    ("cspdarknet53", C.cspdarknet53, 64),
+    ("van_b0", C.van_b0, 64),
+    ("se_resnext50", C.se_resnext50_32x4d, 64),
+    ("resnest50", C.resnest50, 64),
 ]
 
 

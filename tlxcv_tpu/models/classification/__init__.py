@@ -29,3 +29,10 @@ from .regnet import RegNet, regnetx_4gf, regnety_4gf
 from .swin_transformer import (SwinTransformer, swin_base, swin_large,
                                swin_small, swin_tiny, swin_transformer_base)
 from .xception import Xception, xception, xception41
+from .cspdarknet import CSPDarkNet, DarkNet53, cspdarknet53, darknet53_cls
+from .ghostnet import GhostNet, ghostnet
+from .pp_lcnet import PPLCNet, pp_lcnet
+from .rednet import RedNet, rednet26, rednet50
+from .res2net import Res2Net, res2net50_26w_4s, res2net101_26w_4s
+from .se_resnext import (ResNeSt, SEResNeXt, resnest50, se_resnext50_32x4d)
+from .van import VAN, van_b0, van_b1
