@@ -1,0 +1,127 @@
+"""One config system (replaces the reference's three: TL_BACKEND env vars,
+constructor kwargs, and YAML+Registry — SURVEY.md §5.6).
+
+A flat registry of model factories keyed by name, plus a dataclass-style
+Config that builds models/optimizers/tasks from plain dicts (YAML- and
+JSON-loadable)."""
+from __future__ import annotations
+
+import dataclasses
+import json
+import typing as tp
+
+_MODEL_REGISTRY: dict[str, tp.Callable] = {}
+
+
+def register_model(name=None):
+    def deco(fn):
+        _MODEL_REGISTRY[name or fn.__name__] = fn
+        return fn
+    return deco
+
+
+def list_models(filter: str = ""):
+    return sorted(k for k in _MODEL_REGISTRY if filter in k)
+
+
+def create_model(name, **kwargs):
+    _populate()
+    try:
+        factory = _MODEL_REGISTRY[name]
+    except KeyError:
+        close = [k for k in _MODEL_REGISTRY if name.lower() in k.lower()]
+        raise KeyError(f"unknown model {name!r}; similar: {close[:8]}") from None
+    return factory(**kwargs)
+
+
+_POPULATED = False
+
+
+def _populate():
+    """Lazy-fill the registry from the model zoo modules."""
+    global _POPULATED
+    if _POPULATED:
+        return
+    _POPULATED = True
+    from . import models as M
+    from .models import classification as C
+    from .models import rs as RS
+    from .models import segmentation as S
+
+    for mod in (C, S):
+        for name in dir(mod):
+            obj = getattr(mod, name)
+            if callable(obj) and name[0].islower() and not name.startswith("_"):
+                _MODEL_REGISTRY.setdefault(name, obj)
+    extra = {
+        "yolov3": lambda **k: M.YOLOv3(**k),
+        "ssd": lambda **k: M.SSD(**k),
+        "ppyoloe_s": lambda **k: M.ppyoloe("ppyoloe_s", **k),
+        "ppyoloe_m": lambda **k: M.ppyoloe("ppyoloe_m", **k),
+        "ppyoloe_l": lambda **k: M.ppyoloe("ppyoloe_l", **k),
+        "ppyoloe_x": lambda **k: M.ppyoloe("ppyoloe_x", **k),
+        "detr": lambda **k: M.detr_resnet50(**k),
+        "pose_hrnet_w32": lambda **k: M.PoseHighResolutionNet(**k),
+        "pfld": lambda **k: M.PFLD(**k),
+        "retinaface": lambda **k: M.RetinaFace(**k),
+        "arcface": lambda **k: M.ArcFace(**k),
+        "trocr": lambda **k: M.TrOCR(**k),
+        "i3d": lambda **k: M.InceptionI3d(**k),
+        "dcgan": lambda **k: M.DCGANModel(**k),
+        "cyclegan": lambda **k: M.CycleGANModel(**k),
+        "bit": lambda **k: RS.BIT(**k),
+        "snunet": lambda **k: RS.SNUNet(**k),
+        "fc_ef": lambda **k: RS.FCEarlyFusion(**k),
+        "farseg": lambda **k: RS.FarSeg(**k),
+    }
+    for k, v in extra.items():
+        _MODEL_REGISTRY.setdefault(k, v)
+
+
+@dataclasses.dataclass
+class Config:
+    """Flat experiment config: model + optimizer + training params."""
+
+    model: str = "resnet50"
+    model_kwargs: dict = dataclasses.field(default_factory=dict)
+    task: str = "classification"
+    optimizer: str = "Adam"
+    lr: float = 1e-3
+    optimizer_kwargs: dict = dataclasses.field(default_factory=dict)
+    batch_size: int = 32
+    n_epoch: int = 10
+    seed: int = 0
+
+    @classmethod
+    def from_file(cls, path):
+        with open(path) as f:
+            if path.endswith((".yaml", ".yml")):
+                import yaml
+
+                d = yaml.safe_load(f)
+            else:
+                d = json.load(f)
+        return cls(**d)
+
+    def build_model(self):
+        return create_model(self.model, **self.model_kwargs)
+
+    def build_optimizer(self):
+        from .train import optimizers as opt
+
+        return getattr(opt, self.optimizer)(self.lr, **self.optimizer_kwargs)
+
+    def build_task(self):
+        from . import tasks
+
+        names = {
+            "classification": tasks.ImageClassification,
+            "segmentation": tasks.ImageSegmentation,
+            "detection": tasks.ObjectDetection,
+            "pose": tasks.HumanPoseEstimation,
+            "landmark": tasks.FacialLandmarkDetection,
+            "ocr": tasks.OpticalCharacterRecognition,
+            "video": tasks.VideoClassification,
+            "gan": tasks.GAN,
+        }
+        return names[self.task](self.build_model())
