@@ -87,3 +87,19 @@ def test_cyclegan_losses(rng):
     disc_grad = sum(float(jnp.abs(v).sum()) for k, v in g.items()
                     if k.startswith("netD"))
     assert disc_grad > 0
+
+
+def test_styleganv2_shapes(rng):
+    from tlxcv_tpu.core import Rngs
+    from tlxcv_tpu.models.gan import (StyleGANv2Discriminator,
+                                      StyleGANv2Generator)
+
+    g = StyleGANv2Generator(size=32, style_dim=16, n_mlp=2)
+    p, s = split(g)
+    img, _ = pure(g)(p, s, jnp.zeros((2, 16)),
+                     rngs=Rngs(noise=jax.random.key(0)))
+    assert img.shape == (2, 32, 32, 3)
+    d = StyleGANv2Discriminator(size=32)
+    pd, sd = split(d)
+    out, _ = pure(d)(pd, sd, img)
+    assert out.shape == (2, 1)

@@ -5,3 +5,4 @@ from .layers import (EqualConv2d, EqualLinear, FusedLeakyReLU,
                      fused_leaky_relu, upfirdn2d)
 from .registry import (DISCRIMINATORS, GENERATORS, MODELS, Registry,
                        build_discriminator, build_generator)
+from .styleganv2 import StyleGANv2Discriminator, StyleGANv2Generator

@@ -7,5 +7,5 @@ from .image import (interpolate, max_pool2d_with_argmax, max_unpool2d, pad2d,
 from .losses import (binary_cross_entropy, cross_entropy, dice_loss, giou_loss,
                      l1_loss, mse_loss, sigmoid_focal_loss,
                      smooth_l1_loss, softmax_cross_entropy, varifocal_loss)
-from .nms import batched_class_nms, multiclass_nms, nms
+from .nms import batched_class_nms, matrix_nms, multiclass_nms, nms
 from .yolo import yolo_box

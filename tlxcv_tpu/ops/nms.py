@@ -7,9 +7,10 @@ static-shape JAX: every output is a fixed-size tensor plus a validity
 count, so the whole predict path stays inside one jit (SURVEY.md §7
 hard part #1).
 
-Algorithm: sort by score once, compute the pairwise IoU matrix of the
-top-K candidates, then one `lax.fori_loop` sweep that suppresses
-lower-scored overlaps — O(K) iterations of VPU-wide vector ops.
+Algorithm: K-step `lax.scan` (K = max_outputs); each step takes the
+current argmax, emits it, and suppresses its overlaps — O(K·A) vector
+work with only K sequential steps (not A), which is what makes NMS cheap
+on TPU when A is in the thousands but K is ~100.
 """
 from __future__ import annotations
 
@@ -19,49 +20,47 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .boxes import pairwise_iou
-
-__all__ = ["nms", "batched_class_nms", "multiclass_nms"]
+__all__ = ["nms", "batched_class_nms", "multiclass_nms", "matrix_nms"]
 
 NEG_INF = -1e9
 
 
+def _iou_one_vs_all(box, boxes):
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[:, 0] * wh[:, 1]
+    area = jnp.maximum(box[2] - box[0], 0) * jnp.maximum(box[3] - box[1], 0)
+    areas = (jnp.maximum(boxes[:, 2] - boxes[:, 0], 0) *
+             jnp.maximum(boxes[:, 3] - boxes[:, 1], 0))
+    return inter / (area + areas - inter + 1e-9)
+
+
 def nms(boxes, scores, iou_threshold: float = 0.5, max_outputs: int | None = None,
         score_threshold: float | None = None):
-    """Single-class NMS over ``boxes [A, 4]`` / ``scores [A]``.
+    """Single-class greedy NMS over ``boxes [A, 4]`` / ``scores [A]``.
 
-    Returns ``(keep_idx [K], keep_mask [K])`` where K = max_outputs (or A);
-    invalid slots have idx pointing at the highest-score box and mask False.
-    Matches torchvision.ops.nms ordering (score-descending).
+    Returns ``(keep_idx [K], keep_mask [K])`` with K = max_outputs (or A);
+    kept indices are score-descending (torchvision.ops.nms order).
     """
     num = boxes.shape[0]
     k = num if max_outputs is None else min(max_outputs, num)
+    work = scores.astype(jnp.float32)
     if score_threshold is not None:
-        scores = jnp.where(scores >= score_threshold, scores, NEG_INF)
-    order = jnp.argsort(-scores)
-    sboxes = boxes[order]
-    sscores = scores[order]
+        work = jnp.where(scores >= score_threshold, work, NEG_INF)
 
-    iou = pairwise_iou(sboxes, sboxes)
-    valid0 = sscores > NEG_INF / 2
+    def step(work, _):
+        idx = jnp.argmax(work)
+        best = work[idx]
+        keep = best > NEG_INF / 2
+        iou_row = _iou_one_vs_all(boxes[idx], boxes)
+        suppress = keep & (iou_row > iou_threshold)
+        work = jnp.where(suppress, NEG_INF, work)
+        work = work.at[idx].set(NEG_INF)
+        return work, (idx.astype(jnp.int32), keep)
 
-    def body(i, alive):
-        keep_i = alive[i]
-        suppress = (iou[i] > iou_threshold) & keep_i
-        # only suppress later (lower-scored) boxes
-        idx = lax.broadcasted_iota(jnp.int32, (num,), 0)
-        suppress = suppress & (idx > i)
-        return alive & ~suppress
-
-    alive = lax.fori_loop(0, num, body, valid0)
-    # compact kept indices to the front, preserving score order:
-    # sorted position i (if alive) lands in output slot rank(i)
-    slot = jnp.where(alive, jnp.cumsum(alive) - 1, num)  # >=k slots dropped
-    out_idx = jnp.zeros((k,), jnp.int32).at[slot].set(
-        order.astype(jnp.int32), mode="drop")
-    n_kept = jnp.sum(alive)
-    mask = lax.broadcasted_iota(jnp.int32, (k,), 0) < jnp.minimum(n_kept, k)
-    return out_idx, mask
+    _, (idxs, keeps) = lax.scan(step, work, None, length=k)
+    return idxs, keeps
 
 
 def batched_class_nms(boxes, scores, class_ids, iou_threshold: float,
@@ -94,11 +93,15 @@ def multiclass_nms(bboxes, scores, score_threshold: float = 0.7,
     def per_image(boxes, score):
         cls_conf = jnp.max(score, axis=-1)
         cls_id = jnp.argmax(score, axis=-1)
-        conf = jnp.where(cls_conf >= score_threshold, cls_conf, NEG_INF)
+        conf = jnp.where(cls_conf >= score_threshold,
+                         cls_conf.astype(jnp.float32), NEG_INF)
         # pre-truncate to nms_top_k candidates
         a = boxes.shape[0]
         top = min(nms_top_k, a)
-        cand = jnp.argsort(-conf)[:top]
+        if top < a:
+            cand = jax.lax.top_k(conf, top)[1]
+        else:
+            cand = jnp.argsort(-conf)
         cboxes, cconf, ccls = boxes[cand], conf[cand], cls_id[cand]
         if class_agnostic:
             keep, mask = nms(cboxes, cconf, nms_threshold, keep_top_k)
@@ -108,8 +111,49 @@ def multiclass_nms(bboxes, scores, score_threshold: float = 0.7,
         kb = cboxes[keep]
         ks = cconf[keep]
         kc = ccls[keep].astype(boxes.dtype)
-        det = jnp.concatenate([kc[:, None], ks[:, None], kb], axis=-1)
-        det = jnp.where(mask[:, None], det, jnp.array([-1, 0, 0, 0, 0, 0], boxes.dtype))
+        det = jnp.concatenate([kc[:, None], ks[:, None].astype(boxes.dtype),
+                               kb], axis=-1)
+        det = jnp.where(mask[:, None], det,
+                        jnp.array([-1, 0, 0, 0, 0, 0], boxes.dtype))
         return det, jnp.sum(mask)
+
+    return jax.vmap(per_image)(bboxes, scores)
+
+
+@functools.partial(jax.jit, static_argnames=("keep_top_k", "use_gaussian"))
+def matrix_nms(bboxes, scores, score_threshold: float = 0.05,
+               keep_top_k: int = 100, use_gaussian: bool = False,
+               gaussian_sigma: float = 2.0):
+    """Matrix NMS (SOLOv2-style): fully parallel score decay, no loop.
+
+    A faster approximate alternative to greedy NMS for throughput-bound
+    serving.  bboxes [N, A, 4], scores [N, A, C] -> same output layout as
+    :func:`multiclass_nms`.
+    """
+    def per_image(boxes, score):
+        conf = jnp.max(score, axis=-1)
+        cls_id = jnp.argmax(score, axis=-1)
+        conf = jnp.where(conf >= score_threshold, conf, 0.0)
+        # same-class pairwise IoU of higher-scored boxes
+        from .boxes import pairwise_iou
+
+        iou = pairwise_iou(boxes, boxes)
+        same = cls_id[:, None] == cls_id[None, :]
+        higher = conf[:, None] < conf[None, :]
+        decay_iou = jnp.where(same & higher, iou, 0.0)
+        max_decay = decay_iou.max(axis=1)
+        if use_gaussian:
+            decay = jnp.exp(-(max_decay ** 2) / gaussian_sigma)
+        else:
+            decay = (1.0 - max_decay)
+        decayed = conf * decay
+        top_s, top_i = jax.lax.top_k(decayed, keep_top_k)
+        det = jnp.concatenate([
+            cls_id[top_i][:, None].astype(boxes.dtype),
+            top_s[:, None].astype(boxes.dtype), boxes[top_i]], -1)
+        valid = top_s > 0
+        det = jnp.where(valid[:, None], det,
+                        jnp.array([-1, 0, 0, 0, 0, 0], boxes.dtype))
+        return det, valid.sum()
 
     return jax.vmap(per_image)(bboxes, scores)
