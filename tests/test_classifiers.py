@@ -43,6 +43,13 @@ FACTORIES = [
     ("van_b0", C.van_b0, 64),
     ("se_resnext50", C.se_resnext50_32x4d, 64),
     ("resnest50", C.resnest50, 64),
+    ("pvt_v2_b0", C.pvt_v2_b0, 64),
+    ("rexnet_1_0", C.rexnet_1_0, 64),
+    ("dpn68", C.dpn68, 64),
+    ("dla34", C.dla34, 64),
+    ("mixnet_s", C.mixnet_s, 64),
+    ("peleenet", C.peleenet, 64),
+    ("hardnet68", C.hardnet68, 64),
 ]
 
 

@@ -36,3 +36,8 @@ from .rednet import RedNet, rednet26, rednet50
 from .res2net import Res2Net, res2net50_26w_4s, res2net101_26w_4s
 from .se_resnext import (ResNeSt, SEResNeXt, resnest50, se_resnext50_32x4d)
 from .van import VAN, van_b0, van_b1
+from .dpn_dla import DLA, DPN, dla34, dpn68
+from .mixnet import MixNet, mixnet_m, mixnet_s
+from .peleenet import HarDNet, PeleeNet, hardnet68, peleenet
+from .pvt_v2 import PVTv2, pvt_v2_b0, pvt_v2_b1, pvt_v2_b2
+from .rexnet import ReXNet, rexnet_1_0, rexnet_1_3
