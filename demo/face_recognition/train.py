@@ -1,4 +1,9 @@
 """CASIA-WebFace + ArcFace demo (reference demo/face_recognition/train.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 import numpy as np
 
 from tlxcv_tpu.data import CasiaWebFace, DataLoader

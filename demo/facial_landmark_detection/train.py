@@ -1,4 +1,9 @@
 """300-W + PFLD demo (reference demo/facial_landmark_detection/train.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 import numpy as np
 
 from tlxcv_tpu.data import DataLoader, Face300W

@@ -1,5 +1,10 @@
 """CIFAR-10 DCGAN demo (reference demo/gan/train.py — the per-backend
 GANTrainer loops are replaced by one jitted alternating D/G step)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 import numpy as np
 
 from tlxcv_tpu.data import Cifar10, DataLoader

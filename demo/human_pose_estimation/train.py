@@ -1,6 +1,11 @@
 """COCO keypoints + pose HRNet demo
 (reference demo/human_pose_estimation/train.py — no device_info() shelling
 to *-smi tools; use tlxcv_tpu.utils.profiler for introspection)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 import numpy as np
 
 from tlxcv_tpu.data import CocoHumanPoseEstimation, DataLoader

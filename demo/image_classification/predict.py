@@ -1,4 +1,9 @@
 """Single-image predict (reference demo/image_classification/predict.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 import numpy as np
 
 from tlxcv_tpu.data.transforms import Compose, Normalize, Resize, ToTensor

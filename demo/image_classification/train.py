@@ -1,6 +1,11 @@
 """CIFAR-10 classification demo — source-compatible rebuild of
 reference demo/image_classification/train.py (no TL_BACKEND switch:
 one backend, NHWC)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 from tlxcv_tpu.data import Cifar10, DataLoader
 from tlxcv_tpu.data.transforms import Compose, Normalize, Resize, ToTensor
 from tlxcv_tpu.models import vgg11

@@ -1,5 +1,10 @@
 """Circles + UNet segmentation demo — the hermetic end-to-end fixture
 (reference demo/image_segmentation/train.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 import numpy as np
 
 from tlxcv_tpu.data import Circles, DataLoader

@@ -1,4 +1,9 @@
 """Detection predict: the whole decode+NMS path runs inside one jit."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 import numpy as np
 
 from tlxcv_tpu.models import YOLOv3

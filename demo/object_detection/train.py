@@ -4,6 +4,11 @@ minus the TL_BACKEND switch and host-side target loops).
 Targets are padded tensors (PadGTSingle equivalent); assignment runs
 on device inside the jitted loss.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 import numpy as np
 
 from tlxcv_tpu.data import CocoDetection, DataLoader

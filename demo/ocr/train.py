@@ -1,6 +1,11 @@
 """Synth90k + TrOCR demo (reference demo/ocr/train.py).  Uses the BPE
 tokenizer if vocab files exist, else the hermetic char tokenizer."""
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+import os
 
 import numpy as np
 

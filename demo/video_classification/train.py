@@ -1,4 +1,9 @@
 """Charades + I3D demo (reference demo/video_classification/train.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 from tlxcv_tpu.data import Charades, DataLoader
 from tlxcv_tpu.models.video_classification import InceptionI3d
 from tlxcv_tpu.tasks import VideoClassification

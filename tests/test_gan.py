@@ -103,3 +103,24 @@ def test_styleganv2_shapes(rng):
     pd, sd = split(d)
     out, _ = pure(d)(pd, sd, img)
     assert out.shape == (2, 1)
+
+
+def test_extra_gan_generators(rng):
+    from tlxcv_tpu.models.gan import (PReNet, StarGANv2Generator,
+                                      UGATITGenerator)
+
+    m = PReNet(recurrent_iter=2, channels=8)
+    p, s = split(m)
+    out, _ = pure(m)(p, s, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 32, 32, 3)
+
+    g = StarGANv2Generator(img_size=32, style_dim=8, dim_in=8,
+                           max_conv_dim=32)
+    p, s = split(g)
+    out, _ = pure(g)(p, s, jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 8)))
+    assert out.shape == (2, 32, 32, 3)
+
+    ug = UGATITGenerator(ngf=8, n_blocks=2, img_size=32)
+    p, s = split(ug)
+    (img, cam), _ = pure(ug)(p, s, jnp.zeros((1, 32, 32, 3)))
+    assert img.shape == (1, 32, 32, 3) and cam.shape == (1, 2)

@@ -6,3 +6,7 @@ from .layers import (EqualConv2d, EqualLinear, FusedLeakyReLU,
 from .registry import (DISCRIMINATORS, GENERATORS, MODELS, Registry,
                        build_discriminator, build_generator)
 from .styleganv2 import StyleGANv2Discriminator, StyleGANv2Generator
+from .prenet import PReNet, PReNetModel
+from .starganv2 import (MappingNetwork, StarGANv2Discriminator,
+                        StarGANv2Generator, StyleEncoder)
+from .ugatit import UGATITDiscriminator, UGATITGenerator

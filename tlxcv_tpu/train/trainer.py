@@ -109,7 +109,13 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self, n_epoch: int, train_dataset, test_dataset=None,
               print_freq: int = 1, print_train_batch: bool = False,
-              max_steps_per_epoch: tp.Optional[int] = None):
+              max_steps_per_epoch: tp.Optional[int] = None,
+              progress: bool = False):
+        """progress=True draws rich progress bars (the reference Trainer's
+        UX, tasks/human_pose_estimation.py:418-428)."""
+        if progress:
+            return self._train_rich(n_epoch, train_dataset, test_dataset,
+                                    print_freq, max_steps_per_epoch)
         for epoch in range(n_epoch):
             t0 = time.time()
             losses = []
@@ -138,6 +144,47 @@ class Trainer:
                 print(msg)
                 if test_dataset is not None:
                     print(f"   val: {self.evaluate(test_dataset)}")
+        self._sync_to_network()
+        return self
+
+    def _train_rich(self, n_epoch, train_dataset, test_dataset, print_freq,
+                    max_steps_per_epoch):
+        from rich.progress import (BarColumn, Progress, TextColumn,
+                                   TimeElapsedColumn, TimeRemainingColumn)
+
+        with Progress(TextColumn("[progress.description]{task.description}"),
+                      BarColumn(),
+                      TextColumn("{task.percentage:>3.0f}%"),
+                      TimeRemainingColumn(), TimeElapsedColumn()) as prog:
+            n_batch = len(train_dataset) if hasattr(train_dataset, "__len__") \
+                else None
+            etask = prog.add_task("[red]Epochs", total=n_epoch)
+            btask = prog.add_task("[green]Batches", total=n_batch)
+            for epoch in range(n_epoch):
+                prog.reset(btask, total=n_batch)
+                if self.metrics is not None:
+                    self.metrics.reset()
+                losses = []
+                for bi, (x, y) in enumerate(train_dataset):
+                    if (max_steps_per_epoch is not None and
+                            bi >= max_steps_per_epoch):
+                        break
+                    x, y = self._put_batch((x, y))
+                    (self.params, self.state, self.opt_state, loss, out
+                     ) = self._train_step(self.params, self.state,
+                                          self.opt_state, x, y,
+                                          self._next_key())
+                    self.step += 1
+                    losses.append(loss)
+                    if self.metrics is not None:
+                        self.metrics.update(np.asarray(out), np.asarray(y))
+                    prog.advance(btask)
+                mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+                desc = f"[red]Epochs (loss {mean_loss:.4f}"
+                if self.metrics is not None:
+                    desc += f", metric {self.metrics.result():.4f}"
+                prog.update(etask, description=desc + ")")
+                prog.advance(etask)
         self._sync_to_network()
         return self
 
