@@ -10,3 +10,4 @@ from .prenet import PReNet, PReNetModel
 from .starganv2 import (MappingNetwork, StarGANv2Discriminator,
                         StarGANv2Generator, StyleEncoder)
 from .ugatit import UGATITDiscriminator, UGATITGenerator
+from .sr import EDSRGenerator, SRModel, pixel_shuffle
