@@ -125,3 +125,25 @@ def batch_preprocess(images, mean, std, key=None, size=None, training=False):
         flip = jax.random.bernoulli(key, 0.5, (x.shape[0], 1, 1, 1))
         x = jnp.where(flip, x[:, :, ::-1, :], x)
     return x
+
+
+class FusedResizeNormalize:
+    """Fused resize + normalize through the native C++ batch path
+    (tlxcv_tpu.native) — one multi-threaded pass, ~3x cv2+numpy. Works
+    per-sample in a transform pipeline or on whole batches."""
+
+    def __init__(self, size, mean, std, threads=0):
+        self.size = tuple(size) if isinstance(size, (tuple, list)) else (size, size)
+        self.mean = mean
+        self.std = std
+        self.threads = threads
+
+    def __call__(self, img):
+        from .. import native
+
+        img = np.asarray(img)
+        batched = img.ndim == 4
+        out = native.resize_normalize_batch(
+            img if batched else img[None], self.size, self.mean, self.std,
+            self.threads)
+        return out if batched else out[0]
