@@ -50,6 +50,21 @@ FACTORIES = [
     ("mixnet_s", C.mixnet_s, 64),
     ("peleenet", C.peleenet, 64),
     ("hardnet68", C.hardnet68, 64),
+    ("esnet", C.esnet_x1_0, 64),
+    ("pp_lcnet_v2", C.pp_lcnet_v2, 64),
+    ("pp_hgnet", C.pp_hgnet_small, 64),
+    ("tnt_micro", lambda **k: C.TNT(img_size=64, depth=1, outer_dim=32,
+                                    inner_dim=8, outer_heads=2,
+                                    inner_heads=2, **k), 64),
+    ("cswin_micro", lambda **k: C.CSWinTransformer(
+        img_size=112, embed_dim=32, depths=(1, 1, 2, 1), heads=(2, 2, 4, 8),
+        split_sizes=(1, 2, 7, 4), **k), 112),
+    ("twins_micro", lambda **k: C.TwinsSVT(
+        dims=(16, 32, 64, 128), depths=(1, 1, 2, 1), heads=(1, 2, 4, 8),
+        wss=(7, 7, 3, 1), **k), 56),
+    ("levit_micro", lambda **k: C.LeViT(
+        embed_dims=(32, 64, 96), depths=(1, 1, 1), heads=(2, 2, 2), **k), 64),
+    ("xception_deeplab", C.xception_deeplab, 64),
 ]
 
 

@@ -43,3 +43,6 @@ from .pvt_v2 import PVTv2, pvt_v2_b0, pvt_v2_b1, pvt_v2_b2
 from .rexnet import ReXNet, rexnet_1_0, rexnet_1_3
 from .esnet import ESNet, PPLCNetV2, esnet_x1_0, pp_lcnet_v2
 from .tnt import PPHGNet, TNT, pp_hgnet_small, tnt_s
+from .cswin import CSWinTransformer, cswin_small, cswin_tiny
+from .gvt_levit import (LeViT, TwinsSVT, XceptionDeeplab, gvt_small,
+                        levit_128s, xception_deeplab)
