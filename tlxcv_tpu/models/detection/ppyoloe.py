@@ -443,13 +443,16 @@ class PPYOLOEHead(nn.Module):
         bboxes = bboxes / strides
 
         one_hot = jax.nn.one_hot(labels, self.num_classes + 1)[..., :-1]
-        eps = 1e-9
+        # clip instead of +eps guards: XLA reassociation folds
+        # `1 - p + 1e-9` to `log(0)` at saturated sigmoids (see yolov3.py)
+        eps = 1e-6
+        pred_scores = jnp.clip(pred_scores, eps, 1.0 - eps)
         if self.use_varifocal_loss:
             weight = 0.75 * (pred_scores ** 2.0) * (1 - one_hot) + scores * one_hot
         else:
             weight = (pred_scores - scores) ** 2.0
-        ce = -(scores * jnp.log(pred_scores + eps) +
-               (1 - scores) * jnp.log(1 - pred_scores + eps))
+        ce = -(scores * jnp.log(pred_scores) +
+               (1 - scores) * jnp.log(1 - pred_scores))
         loss_cls = jnp.sum(ce * weight)
         scores_sum = jnp.maximum(jnp.sum(scores), 1.0)
         loss_cls = loss_cls / scores_sum

@@ -170,6 +170,10 @@ def _decode_level(txy_twh, anchors, ds, grid_hw):
     cx = (jax.nn.sigmoid(x) + gx[None, :, :, None]) / gw
     cy = (jax.nn.sigmoid(y) + gy[None, :, :, None]) / gh
     an = jnp.asarray(anchors, jnp.float32)
+    # clamp: exp of an unbounded logit overflows f32 after a few optimizer
+    # steps and poisons the obj-loss IoU with inf/NaN
+    tw = jnp.clip(tw, -10.0, 10.0)
+    th = jnp.clip(th, -10.0, 10.0)
     bw = jnp.exp(tw) * an[:, 0] / (ds * gw)
     bh = jnp.exp(th) * an[:, 1] / (ds * gh)
     return jnp.stack([cx, cy, bw, bh], -1)
@@ -204,15 +208,14 @@ class YOLOv3Loss(nn.Module):
         tcls = t[..., 6:]
         tscale_obj = tscale * tobj
 
-        sx, sy = jax.nn.sigmoid(x), jax.nn.sigmoid(y)
         bce = lambda logit, label: (jnp.maximum(logit, 0) - logit * label +
                                     jnp.log1p(jnp.exp(-jnp.abs(logit))))
-        # xy: BCE of sigmoid output against fractional target (probability
-        # form, matching tlx.losses.binary_cross_entropy on probabilities)
-        eps = 1e-9
-        bce_prob = lambda prob, label: -(label * jnp.log(prob + eps) +
-                                         (1 - label) * jnp.log(1 - prob + eps))
-        loss_xy = tscale_obj * (bce_prob(sx, tx) + bce_prob(sy, ty))
+        # xy BCE against the fractional target, computed in LOGIT space:
+        # the probability form -(t log p + (1-t) log(1-p+eps)) NaNs under
+        # XLA — reassociation folds the eps guard ((1+1e-9)==1 in f32),
+        # giving log(0)*0 at saturated sigmoids.  bce(logit, t) is the
+        # same function, stable by construction.
+        loss_xy = tscale_obj * (bce(x, tx) + bce(y, ty))
         loss_xy = loss_xy.reshape(b, -1).sum(-1).mean()
         loss_wh = tscale_obj * (jnp.abs(pw - tw) + jnp.abs(ph - th))
         loss_wh = loss_wh.reshape(b, -1).sum(-1).mean()

@@ -46,8 +46,9 @@ def yolo_box(x, img_size, anchors, class_num: int, conf_thresh: float = 0.005,
     cx = (gx + scale_x_y * jax.nn.sigmoid(tx) - bias) / w
     cy = (gy + scale_x_y * jax.nn.sigmoid(ty) - bias) / h
     # anchor sizes are in network-input pixels; normalize by input extent
-    bw = jnp.exp(tw) * an[:, 0] / (w * downsample_ratio)
-    bh = jnp.exp(th) * an[:, 1] / (h * downsample_ratio)
+    # (clamped: raw logits can overflow exp in f32 on untrained heads)
+    bw = jnp.exp(jnp.clip(tw, -10.0, 10.0)) * an[:, 0] / (w * downsample_ratio)
+    bh = jnp.exp(jnp.clip(th, -10.0, 10.0)) * an[:, 1] / (h * downsample_ratio)
 
     img_h = img_size[:, 0].astype(x.dtype).reshape(n, 1, 1, 1)
     img_w = img_size[:, 1].astype(x.dtype).reshape(n, 1, 1, 1)
