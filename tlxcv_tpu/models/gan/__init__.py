@@ -11,3 +11,4 @@ from .starganv2 import (MappingNetwork, StarGANv2Discriminator,
                         StarGANv2Generator, StyleEncoder)
 from .ugatit import UGATITDiscriminator, UGATITGenerator
 from .sr import EDSRGenerator, SRModel, pixel_shuffle
+from .wing import FAN, CoordConvTh, HourGlass
