@@ -252,7 +252,9 @@ class YOLOv3(nn.Module):
 
     def __init__(self, num_classes=80, anchors=DEFAULT_ANCHORS,
                  anchor_masks=DEFAULT_MASKS, score_threshold=0.01,
-                 nms_threshold=0.5, nms_top_k=1000, keep_top_k=100):
+                 nms_threshold=0.5, nms_top_k=1000, keep_top_k=100,
+                 use_matrix_nms=False):
+        self.use_matrix_nms = use_matrix_nms
         self.backbone = DarkNet()
         self.neck = YOLOv3FPN(in_channels=self.backbone.out_channels)
         self.yolo_head = YOLOv3Head(in_channels=self.neck.out_channels,
@@ -303,4 +305,10 @@ class YOLOv3(nn.Module):
             scores_all.append(sc)
         boxes = jnp.concatenate(boxes_all, axis=1)
         scores = jnp.concatenate(scores_all, axis=1)
+        if self.use_matrix_nms:
+            from ...ops.nms import matrix_nms
+
+            return matrix_nms(boxes, scores,
+                              score_threshold=self.nms_cfg["score_threshold"],
+                              keep_top_k=self.nms_cfg["keep_top_k"])
         return multiclass_nms(boxes, scores, **self.nms_cfg)

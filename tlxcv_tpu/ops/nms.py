@@ -120,20 +120,27 @@ def multiclass_nms(bboxes, scores, score_threshold: float = 0.7,
     return jax.vmap(per_image)(bboxes, scores)
 
 
-@functools.partial(jax.jit, static_argnames=("keep_top_k", "use_gaussian"))
+@functools.partial(jax.jit, static_argnames=("keep_top_k", "use_gaussian",
+                                              "pre_top_k"))
 def matrix_nms(bboxes, scores, score_threshold: float = 0.05,
                keep_top_k: int = 100, use_gaussian: bool = False,
-               gaussian_sigma: float = 2.0):
+               gaussian_sigma: float = 2.0, pre_top_k: int = 512):
     """Matrix NMS (SOLOv2-style): fully parallel score decay, no loop.
 
     A faster approximate alternative to greedy NMS for throughput-bound
     serving.  bboxes [N, A, 4], scores [N, A, C] -> same output layout as
-    :func:`multiclass_nms`.
+    :func:`multiclass_nms`.  Candidates pre-truncated to `pre_top_k` by
+    best-class score so the pairwise IoU stays small.
     """
     def per_image(boxes, score):
         conf = jnp.max(score, axis=-1)
         cls_id = jnp.argmax(score, axis=-1)
-        conf = jnp.where(conf >= score_threshold, conf, 0.0)
+        conf = jnp.where(conf >= score_threshold,
+                         conf.astype(jnp.float32), 0.0)
+        top = min(pre_top_k, boxes.shape[0])
+        conf, cand = jax.lax.top_k(conf, top)
+        boxes = boxes[cand]
+        cls_id = cls_id[cand]
         # same-class pairwise IoU of higher-scored boxes
         from .boxes import pairwise_iou
 
@@ -147,7 +154,7 @@ def matrix_nms(bboxes, scores, score_threshold: float = 0.05,
         else:
             decay = (1.0 - max_decay)
         decayed = conf * decay
-        top_s, top_i = jax.lax.top_k(decayed, keep_top_k)
+        top_s, top_i = jax.lax.top_k(decayed, min(keep_top_k, top))
         det = jnp.concatenate([
             cls_id[top_i][:, None].astype(boxes.dtype),
             top_s[:, None].astype(boxes.dtype), boxes[top_i]], -1)
