@@ -61,6 +61,7 @@ def _populate():
         "ppyoloe_l": lambda **k: M.ppyoloe("ppyoloe_l", **k),
         "ppyoloe_x": lambda **k: M.ppyoloe("ppyoloe_x", **k),
         "detr": lambda **k: M.detr_resnet50(**k),
+        "mask_rcnn": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["MaskRCNN"]).MaskRCNN(**k),
         "pose_hrnet_w32": lambda **k: M.PoseHighResolutionNet(**k),
         "pfld": lambda **k: M.PFLD(**k),
         "retinaface": lambda **k: M.RetinaFace(**k),

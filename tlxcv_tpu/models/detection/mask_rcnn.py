@@ -1,0 +1,347 @@
+"""Mask R-CNN — two-stage instance segmentation (BASELINE.json config #5:
+RPN, RoIAlign, box head, mask head + paste; the reference snapshot ships
+no Mask R-CNN source (SURVEY.md honesty note), so this is built to the
+published architecture, TPU-first).
+
+Static shapes throughout: proposals are a fixed-size top-K set with a
+validity mask, RoIAlign runs on all FPN levels with per-box level
+selection by `where` (no dynamic gather-by-level), and every loss is a
+masked mean over padded matches.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import nn
+from ...core import init as I
+from ...core.module import Module, is_training
+from ...ops.boxes import bbox2delta, clip_boxes, delta2bbox, pairwise_iou
+from ...ops.nms import nms
+from ...ops.roi_align import paste_masks, roi_align
+
+__all__ = ["MaskRCNN", "FPN", "RPNHead"]
+
+
+class FPN(Module):
+    """Standard top-down FPN over C2..C5 -> P2..P5 (+P6 pool)."""
+
+    def __init__(self, in_channels, out_ch=256):
+        self.lateral = [nn.Conv2d(c, out_ch, 1) for c in in_channels]
+        self.output = [nn.Conv2d(out_ch, out_ch, 3, padding=1)
+                       for _ in in_channels]
+        self.out_ch = out_ch
+
+    def __call__(self, feats):
+        lats = [l(f) for l, f in zip(self.lateral, feats)]
+        outs = [lats[-1]]
+        for i in range(len(lats) - 2, -1, -1):
+            n, h, w, c = lats[i].shape
+            up = jax.image.resize(outs[0], (n, h, w, c), "nearest")
+            outs.insert(0, lats[i] + up)
+        ps = [conv(o) for conv, o in zip(self.output, outs)]
+        p6 = nn.MaxPool2d(1, 2)(ps[-1])
+        return ps + [p6]  # P2, P3, P4, P5, P6
+
+
+class RPNHead(Module):
+    def __init__(self, in_ch=256, num_anchors=3):
+        self.conv = nn.Conv2d(in_ch, in_ch, 3, padding=1)
+        self.objectness = nn.Conv2d(in_ch, num_anchors, 1)
+        self.deltas = nn.Conv2d(in_ch, num_anchors * 4, 1)
+
+    def __call__(self, feats):
+        logits, deltas = [], []
+        for f in feats:
+            t = nn.relu(self.conv(f))
+            b = f.shape[0]
+            logits.append(self.objectness(t).reshape(b, -1))
+            deltas.append(self.deltas(t).reshape(b, -1, 4))
+        return jnp.concatenate(logits, 1), jnp.concatenate(deltas, 1)
+
+
+def _rpn_anchors(feat_hws, strides=(4, 8, 16, 32, 64),
+                 sizes=(32, 64, 128, 256, 512), ratios=(0.5, 1.0, 2.0)):
+    """Host-side anchors [A, 4] xyxy + per-anchor level id."""
+    out, levels = [], []
+    for li, ((h, w), s, size) in enumerate(zip(feat_hws, strides, sizes)):
+        ws = np.asarray([size * math.sqrt(r) for r in ratios], np.float32)
+        hs = np.asarray([size / math.sqrt(r) for r in ratios], np.float32)
+        cx = (np.arange(w, dtype=np.float32) + 0.5) * s
+        cy = (np.arange(h, dtype=np.float32) + 0.5) * s
+        cxg, cyg = np.meshgrid(cx, cy)
+        centers = np.stack([cxg, cyg], -1).reshape(-1, 1, 2)
+        wh = np.stack([ws, hs], -1)[None]
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], -1)
+        boxes = boxes.reshape(-1, 4)
+        out.append(boxes)
+        levels.append(np.full((len(boxes),), li, np.int32))
+    return np.concatenate(out), np.concatenate(levels)
+
+
+class TwoFCHead(Module):
+    def __init__(self, in_dim, hidden=1024):
+        self.fc1 = nn.Linear(in_dim, hidden)
+        self.fc2 = nn.Linear(hidden, hidden)
+
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], x.shape[1], -1)
+        return nn.relu(self.fc2(nn.relu(self.fc1(x))))
+
+
+class MaskHead(Module):
+    def __init__(self, in_ch=256, num_classes=80):
+        self.convs = [nn.Conv2d(in_ch, in_ch, 3, padding=1)
+                      for _ in range(4)]
+        self.deconv = nn.ConvTranspose2d(in_ch, in_ch, 2, stride=2)
+        self.pred = nn.Conv2d(in_ch, num_classes, 1)
+
+    def __call__(self, x):
+        """x [N, R, S, S, C] -> [N, R, 2S, 2S, num_classes]."""
+        n, r = x.shape[:2]
+        x = x.reshape((n * r,) + x.shape[2:])
+        for conv in self.convs:
+            x = nn.relu(conv(x))
+        x = nn.relu(self.deconv(x))
+        x = self.pred(x)
+        return x.reshape((n, r) + x.shape[1:])
+
+
+def _multilevel_roi_align(feats, boxes, output_size):
+    """RoIAlign with FPN level assignment (P2..P5), static shapes:
+    compute on every level and select by the canonical k formula."""
+    strides = (4, 8, 16, 32)
+    area = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1.0) * \
+        jnp.maximum(boxes[..., 3] - boxes[..., 1], 1.0)
+    k = jnp.floor(4 + jnp.log2(jnp.sqrt(area) / 224.0 + 1e-9))
+    k = jnp.clip(k, 2, 5) - 2  # 0..3 over P2..P5
+    pooled = [roi_align(f, boxes, output_size, 1.0 / s)
+              for f, s in zip(feats[:4], strides)]
+    stacked = jnp.stack(pooled, axis=2)  # [N, R, 4, S, S, C]
+    sel = jax.nn.one_hot(k.astype(jnp.int32), 4)[..., None, None, None]
+    return jnp.sum(stacked * sel, axis=2)
+
+
+class MaskRCNN(Module):
+    def __init__(self, num_classes=80, num_proposals=256, pre_nms_top_k=512,
+                 rpn_nms_thresh=0.7, box_score_thresh=0.05,
+                 box_nms_thresh=0.5, detections_per_image=100,
+                 mask_resolution=14, backbone=None):
+        from ..classification.resnet import ResNet
+
+        self.backbone = backbone if backbone is not None else \
+            ResNet(depth=50, num_classes=0, with_pool=False)
+        self.fpn = FPN(self.backbone.feat_channels, 256)
+        self.rpn_head = RPNHead(256, 3)
+        self.box_roi_size = 7
+        self.box_head = TwoFCHead(256 * 7 * 7, 1024)
+        self.cls_score = nn.Linear(1024, num_classes + 1)
+        self.bbox_pred = nn.Linear(1024, 4)  # class-agnostic regression
+        self.mask_head = MaskHead(256, num_classes)
+        self.num_classes = num_classes
+        self.num_proposals = num_proposals
+        self.pre_nms_top_k = pre_nms_top_k
+        self.rpn_nms_thresh = rpn_nms_thresh
+        self.box_score_thresh = box_score_thresh
+        self.box_nms_thresh = box_nms_thresh
+        self.detections_per_image = detections_per_image
+        self.mask_resolution = mask_resolution
+        self._anchor_cache = {}
+
+    # ------------------------------------------------------------------
+    def _anchors(self, feat_hws):
+        key = tuple(feat_hws)
+        if key not in self._anchor_cache:
+            self._anchor_cache[key] = _rpn_anchors(feat_hws)
+        return self._anchor_cache[key]
+
+    def _proposals(self, logits, deltas, anchors, image_hw):
+        """Per-image static top-K proposals: top pre_nms by objectness,
+        decode, NMS, keep num_proposals (padded)."""
+        h, w = image_hw
+
+        def per_image(lg, dl):
+            k = min(self.pre_nms_top_k, lg.shape[0])
+            score, idx = jax.lax.top_k(lg, k)
+            boxes = delta2bbox(dl[idx], jnp.asarray(anchors)[idx])
+            boxes = clip_boxes(boxes, (h, w))
+            keep, mask = nms(boxes, score, self.rpn_nms_thresh,
+                             self.num_proposals)
+            props = boxes[keep]
+            # invalid slots collapse to a zero box
+            props = jnp.where(mask[:, None], props, 0.0)
+            return props, mask
+
+        return jax.vmap(per_image)(logits, deltas)
+
+    def forward_features(self, images):
+        feats = self.fpn(self.backbone.features(images))
+        logits, deltas = self.rpn_head(feats)
+        feat_hws = tuple(tuple(f.shape[1:3]) for f in feats)
+        anchors, _ = self._anchors(feat_hws)
+        props, pmask = self._proposals(logits, deltas, anchors,
+                                       images.shape[1:3])
+        return feats, logits, deltas, anchors, props, pmask
+
+    def __call__(self, images):
+        feats, rpn_logits, rpn_deltas, anchors, props, pmask = \
+            self.forward_features(images)
+        pooled = _multilevel_roi_align(feats, props, self.box_roi_size)
+        hidden = self.box_head(pooled)
+        cls_logits = self.cls_score(hidden)     # [N, R, C+1]
+        box_deltas = self.bbox_pred(hidden)     # [N, R, 4]
+        if is_training():
+            return {"feats": feats, "rpn_logits": rpn_logits,
+                    "rpn_deltas": rpn_deltas, "anchors": anchors,
+                    "proposals": props, "proposal_mask": pmask,
+                    "cls_logits": cls_logits, "box_deltas": box_deltas,
+                    "image_hw": images.shape[1:3]}
+        return self._postprocess(feats, props, pmask, cls_logits, box_deltas,
+                                 images.shape[1:3])
+
+    def _postprocess(self, feats, props, pmask, cls_logits, box_deltas,
+                     image_hw):
+        probs = jax.nn.softmax(cls_logits, -1)[..., :-1]  # drop background
+        boxes = jax.vmap(lambda d, p: delta2bbox(d, p))(box_deltas, props)
+        boxes = clip_boxes(boxes, image_hw)
+        from ...ops.nms import multiclass_nms
+
+        dets, counts = multiclass_nms(
+            boxes, jnp.where(pmask[..., None], probs, 0.0),
+            score_threshold=self.box_score_thresh,
+            nms_threshold=self.box_nms_thresh,
+            nms_top_k=self.num_proposals,
+            keep_top_k=self.detections_per_image)
+        det_boxes = dets[..., 2:6]
+        mask_feats = _multilevel_roi_align(feats, det_boxes,
+                                           self.mask_resolution)
+        mask_logits = self.mask_head(mask_feats)  # [N, K, 28, 28, C]
+        labels = jnp.clip(dets[..., 0].astype(jnp.int32), 0,
+                          self.num_classes - 1)
+        sel = jax.nn.one_hot(labels, self.num_classes)
+        masks = jnp.einsum("nkhwc,nkc->nkhw", jax.nn.sigmoid(mask_logits),
+                           sel)
+        return dets, counts, masks
+
+    def paste(self, masks, dets, counts, image_hw):
+        """Host-callable: paste per-detection masks to image size."""
+        return jax.vmap(lambda m, d: paste_masks(m, d[:, 2:6], image_hw))(
+            masks, dets)
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, outputs, targets):
+        """targets: boxes [B, M, 4] xyxy pixels, class_labels [B, M],
+        mask [B, M] validity, optional masks [B, M, H, W] binary."""
+        gt_boxes = targets["boxes"]
+        gt_labels = targets["class_labels"].astype(jnp.int32)
+        gt_valid = targets.get("mask")
+        if gt_valid is None:
+            gt_valid = (gt_boxes[..., 2] > gt_boxes[..., 0]).astype(jnp.float32)
+
+        anchors = jnp.asarray(outputs["anchors"])
+        rpn_logits = outputs["rpn_logits"]
+        rpn_deltas = outputs["rpn_deltas"]
+        b = rpn_logits.shape[0]
+
+        # ---- RPN matching: pos IoU>0.7 (or argmax per gt), neg <0.3
+        iou = pairwise_iou(gt_boxes, jnp.broadcast_to(
+            anchors, (b,) + anchors.shape))           # [B, M, A]
+        iou = jnp.where(gt_valid[..., None] > 0, iou, -1.0)
+        best_gt = jnp.argmax(iou, axis=1)             # [B, A]
+        best_iou = jnp.max(iou, axis=1)
+        pos = best_iou > 0.7
+        # force each gt's best anchor positive
+        gt_best_anchor = jnp.argmax(iou, axis=2)      # [B, M]
+        bidx = jnp.arange(b)[:, None]
+        force = jnp.zeros_like(pos).at[
+            bidx, jnp.where(gt_valid > 0, gt_best_anchor, 0)].set(
+            gt_valid > 0, mode="drop")
+        pos = pos | force
+        neg = (best_iou < 0.3) & ~pos
+
+        obj_labels = pos.astype(jnp.float32)
+        from ...ops.losses import binary_cross_entropy, smooth_l1_loss
+
+        sample = (pos | neg).astype(jnp.float32)
+        rpn_cls = binary_cross_entropy(rpn_logits, obj_labels,
+                                       reduction="none")
+        rpn_cls = jnp.sum(rpn_cls * sample) / jnp.maximum(sample.sum(), 1.0)
+
+        matched = jnp.take_along_axis(gt_boxes, best_gt[..., None], 1)
+        t_delta = bbox2delta(jnp.broadcast_to(anchors, (b,) + anchors.shape),
+                             matched)
+        rpn_reg = smooth_l1_loss(rpn_deltas, jax.lax.stop_gradient(t_delta),
+                                 reduction="none").sum(-1)
+        posf = pos.astype(jnp.float32)
+        rpn_reg = jnp.sum(rpn_reg * posf) / jnp.maximum(posf.sum(), 1.0)
+
+        # ---- box head matching: proposals vs gt at IoU 0.5
+        props = outputs["proposals"]
+        pmask = outputs["proposal_mask"].astype(jnp.float32)
+        piou = pairwise_iou(gt_boxes, props)          # [B, M, R]
+        piou = jnp.where(gt_valid[..., None] > 0, piou, -1.0)
+        p_best_gt = jnp.argmax(piou, axis=1)
+        p_best_iou = jnp.max(piou, axis=1)
+        fg = (p_best_iou >= 0.5) & (pmask > 0)
+        # each valid GT's best proposal is always foreground (keeps the
+        # box/mask heads learning before the RPN warms up)
+        gt_best_prop = jnp.argmax(piou, axis=2)       # [B, M]
+        r = props.shape[1]
+        force_fg = jnp.zeros_like(fg).at[
+            bidx, jnp.where(gt_valid > 0, gt_best_prop, r)].set(
+            True, mode="drop")
+        fg = fg | (force_fg & (pmask > 0))
+        # their matched gt must be that gt, not the iou-argmax
+        p_best_gt = p_best_gt.at[
+            bidx, jnp.where(gt_valid > 0, gt_best_prop, r)].set(
+            jnp.broadcast_to(jnp.arange(gt_boxes.shape[1]), gt_best_prop.shape),
+            mode="drop")
+        t_label = jnp.take_along_axis(gt_labels, p_best_gt, 1)
+        t_label = jnp.where(fg, t_label, self.num_classes)  # background
+
+        logp = jax.nn.log_softmax(outputs["cls_logits"], -1)
+        ce = -jnp.take_along_axis(logp, t_label[..., None], -1)[..., 0]
+        box_cls = jnp.sum(ce * pmask) / jnp.maximum(pmask.sum(), 1.0)
+
+        p_matched = jnp.take_along_axis(gt_boxes, p_best_gt[..., None], 1)
+        safe_props = jnp.where(
+            (props[..., 2:] > props[..., :2]).all(-1, keepdims=True),
+            props, props + jnp.asarray([0, 0, 1, 1], props.dtype))
+        t_bdelta = bbox2delta(safe_props, p_matched)
+        breg = smooth_l1_loss(outputs["box_deltas"],
+                              jax.lax.stop_gradient(t_bdelta),
+                              reduction="none").sum(-1)
+        fgf = fg.astype(jnp.float32)
+        box_reg = jnp.sum(breg * fgf) / jnp.maximum(fgf.sum(), 1.0)
+
+        total = rpn_cls + rpn_reg + box_cls + box_reg
+
+        # ---- mask head (only when GT masks provided)
+        gt_masks = targets.get("masks")
+        if gt_masks is not None:
+            mask_feats = _multilevel_roi_align(outputs["feats"], props,
+                                               self.mask_resolution)
+            mask_logits = self.mask_head(mask_feats)  # [B, R, 2S, 2S, C]
+            ms2 = mask_logits.shape[2]
+
+            # mask targets: crop each proposal's matched GT mask to the
+            # proposal window at the head's output resolution — each
+            # proposal's mask is treated as its own one-channel image
+            def mask_targets(gmasks, boxes, idx):
+                sel = jnp.take(gmasks, idx, axis=0)[..., None]  # [R, H, W, 1]
+                return roi_align(sel, boxes[:, None, :], ms2)[:, 0, ..., 0]
+
+            t_masks = jax.vmap(mask_targets)(gt_masks.astype(jnp.float32),
+                                             props, p_best_gt)
+            sel_cls = jax.nn.one_hot(jnp.clip(t_label, 0,
+                                              self.num_classes - 1),
+                                     self.num_classes)
+            pred = jnp.einsum("brhwc,brc->brhw", mask_logits, sel_cls)
+            mloss = binary_cross_entropy(
+                pred, jax.lax.stop_gradient(t_masks > 0.5).astype(jnp.float32),
+                reduction="none").mean((-1, -2))
+            total = total + jnp.sum(mloss * fgf) / jnp.maximum(fgf.sum(), 1.0)
+        return total

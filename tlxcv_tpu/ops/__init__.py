@@ -1,4 +1,4 @@
-from . import anchors, boxes, hungarian, image, losses, nms, post_process, yolo
+from . import anchors, boxes, hungarian, image, losses, nms, post_process, roi_align, yolo
 from .boxes import (aligned_iou, batch_distance2bbox, bbox2delta, bbox2distance,
                     bbox_iou, box_area, clip_boxes, delta2bbox, distance2bbox,
                     pairwise_iou, xywh2xyxy, xyxy2xywh)
@@ -10,3 +10,4 @@ from .losses import (binary_cross_entropy, cross_entropy, dice_loss, giou_loss,
 from .nms import batched_class_nms, matrix_nms, multiclass_nms, nms
 from .yolo import yolo_box
 from .post_process import cvt_results, rescale_dets
+from .roi_align import paste_masks, roi_align

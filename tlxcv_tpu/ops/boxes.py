@@ -103,7 +103,9 @@ def bbox2delta(src, tgt, weights=(1.0, 1.0, 1.0, 1.0)):
 
 def delta2bbox(deltas, boxes, weights=(1.0, 1.0, 1.0, 1.0), max_ratio=16 / 1000.0):
     """Decode deltas against anchors (reference bbox_utils.py:33)."""
-    clip = abs(float(jnp.log(jnp.asarray(max_ratio))))
+    import math
+
+    clip = abs(math.log(max_ratio))
     w = boxes[..., 2] - boxes[..., 0]
     h = boxes[..., 3] - boxes[..., 1]
     cx = boxes[..., 0] + w * 0.5

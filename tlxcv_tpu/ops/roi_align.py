@@ -1,0 +1,102 @@
+"""RoIAlign — static-shape bilinear region pooling (BASELINE config #5:
+Mask R-CNN needs RPN + RoIAlign + mask paste; the reference snapshot has
+no Mask R-CNN source, so this is built to the published op semantics,
+matching torchvision.ops.roi_align with aligned=False).
+
+Implementation: for each RoI output cell, `sampling_ratio`^2 bilinear
+samples averaged — expressed as four gathers + weights over the feature
+map, fully vectorized (no loops), so XLA maps it onto gathers + VPU math.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["roi_align", "paste_masks"]
+
+
+def _bilinear_gather(feat, ys, xs):
+    """feat [H, W, C]; ys/xs [...] float coords -> [..., C]."""
+    h, w, c = feat.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy1 = ys - y0
+    wx1 = xs - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    # out-of-bounds samples contribute zero (torchvision semantics)
+    valid = ((ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w))[..., None]
+
+    def g(yi, xi):
+        return feat[yi, xi]
+
+    v00 = g(y0i, x0i)
+    v01 = g(y0i, x1i)
+    v10 = g(y1i, x0i)
+    v11 = g(y1i, x1i)
+    wy1 = wy1[..., None]
+    wx1 = wx1[..., None]
+    out = (v00 * (1 - wy1) * (1 - wx1) + v01 * (1 - wy1) * wx1 +
+           v10 * wy1 * (1 - wx1) + v11 * wy1 * wx1)
+    return jnp.where(valid, out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
+def roi_align(features, boxes, output_size: int = 7,
+              spatial_scale: float = 1.0, sampling_ratio: int = 2):
+    """features [N, H, W, C]; boxes [N, R, 4] xyxy in image coords.
+
+    Returns [N, R, S, S, C] (S = output_size).
+    """
+    s = output_size
+    sr = sampling_ratio
+
+    def per_image(feat, bxs):
+        b = bxs * spatial_scale
+        x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+        rw = jnp.maximum(x2 - x1, 1.0)
+        rh = jnp.maximum(y2 - y1, 1.0)
+        bin_h = rh / s
+        bin_w = rw / s
+        # sample grid: [R, s*sr] per axis
+        iy = (jnp.arange(s * sr) + 0.5) / sr  # positions in bin units
+        ys = y1[:, None] + bin_h[:, None] * iy[None, :]
+        xs = x1[:, None] + bin_w[:, None] * iy[None, :]
+        yy = jnp.broadcast_to(ys[:, :, None], ys.shape + (s * sr,))
+        xx = jnp.broadcast_to(xs[:, None, :], (xs.shape[0], s * sr, s * sr))
+        vals = _bilinear_gather(feat, yy - 0.5, xx - 0.5)  # [R, sr*s, sr*s, C]
+        r = vals.shape[0]
+        c = vals.shape[-1]
+        vals = vals.reshape(r, s, sr, s, sr, c)
+        return vals.mean(axis=(2, 4))
+
+    return jax.vmap(per_image)(features, boxes)
+
+
+@functools.partial(jax.jit, static_argnames=("image_hw",))
+def paste_masks(masks, boxes, image_hw):
+    """Paste per-RoI masks into full-image masks.
+
+    masks [R, M, M] (logits or probs), boxes [R, 4] xyxy pixels.
+    Returns [R, H, W] — each mask bilinearly resampled into its box.
+    """
+    h, w = image_hw
+    m = masks.shape[-1]
+
+    def per_roi(mask, box):
+        x1, y1, x2, y2 = box
+        bw = jnp.maximum(x2 - x1, 1.0)
+        bh = jnp.maximum(y2 - y1, 1.0)
+        ys = (jnp.arange(h) + 0.5 - y1) / bh * m - 0.5
+        xs = (jnp.arange(w) + 0.5 - x1) / bw * m - 0.5
+        yy = jnp.broadcast_to(ys[:, None], (h, w))
+        xx = jnp.broadcast_to(xs[None, :], (h, w))
+        vals = _bilinear_gather(mask[..., None], yy, xx)[..., 0]
+        inside = ((yy > -1.0) & (yy < m) & (xx > -1.0) & (xx < m))
+        return jnp.where(inside, vals, 0.0)
+
+    return jax.vmap(per_roi)(masks, boxes)
