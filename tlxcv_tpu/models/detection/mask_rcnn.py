@@ -129,7 +129,8 @@ class MaskRCNN(Module):
     def __init__(self, num_classes=80, num_proposals=256, pre_nms_top_k=512,
                  rpn_nms_thresh=0.7, box_score_thresh=0.05,
                  box_nms_thresh=0.5, detections_per_image=100,
-                 mask_resolution=14, backbone=None):
+                 mask_resolution=14, backbone=None, rpn_matrix_nms=False):
+        self.rpn_matrix_nms = rpn_matrix_nms
         from ..classification.resnet import ResNet
 
         self.backbone = backbone if backbone is not None else \
@@ -160,7 +161,8 @@ class MaskRCNN(Module):
 
     def _proposals(self, logits, deltas, anchors, image_hw):
         """Per-image static top-K proposals: top pre_nms by objectness,
-        decode, NMS, keep num_proposals (padded)."""
+        decode, NMS (greedy scan or parallel matrix decay), pad to
+        num_proposals."""
         h, w = image_hw
 
         def per_image(lg, dl):
@@ -168,8 +170,19 @@ class MaskRCNN(Module):
             score, idx = jax.lax.top_k(lg, k)
             boxes = delta2bbox(dl[idx], jnp.asarray(anchors)[idx])
             boxes = clip_boxes(boxes, (h, w))
-            keep, mask = nms(boxes, score, self.rpn_nms_thresh,
-                             self.num_proposals)
+            if self.rpn_matrix_nms:
+                # parallel decay: suppress by max IoU with higher-scored
+                # proposals — one K x K matrix instead of a K-step scan
+                iou = pairwise_iou(boxes, boxes)
+                higher = score[:, None] < score[None, :]
+                decay = jnp.where(higher, iou, 0.0).max(axis=1)
+                decayed = jnp.where(decay > self.rpn_nms_thresh,
+                                    -jnp.inf, score)
+                top_s, keep = jax.lax.top_k(decayed, self.num_proposals)
+                mask = top_s > -jnp.inf
+            else:
+                keep, mask = nms(boxes, score, self.rpn_nms_thresh,
+                                 self.num_proposals)
             props = boxes[keep]
             # invalid slots collapse to a zero box
             props = jnp.where(mask[:, None], props, 0.0)
