@@ -29,7 +29,7 @@ def test_unet_circles_learns():
                  target_transform=CentralCrop((52, 52)))
     loader = DataLoader(ds, batch_size=8)
     model = ImageSegmentation(Unet(nx=92, ny=92, channels=1, num_classes=2,
-                                   filters_root=8, dropout_rate=0.0))
+                                   filters_root=16, dropout_rate=0.0))
     trainer = Trainer(network=model, optimizer=optimizers.Adam(1e-3),
                       metrics=Accuracy())
     trainer.train(n_epoch=20, train_dataset=loader, print_freq=100)

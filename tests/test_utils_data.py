@@ -40,6 +40,38 @@ def test_map_degrades_with_misses(rng):
     assert stats["map"] == res["map"]
 
 
+def test_mean_iou_all_input_shapes(rng):
+    """MeanIoU must accept logits/one-hot/int in any combination
+    (ADVICE r1: the mixed cases broadcast-crashed or corrupted the
+    confusion matrix)."""
+    from tlxcv_tpu.utils import MeanIoU
+
+    true = rng.integers(0, 3, size=(2, 8, 8))
+    pred = rng.integers(0, 3, size=(2, 8, 8))
+    logits = np.eye(3, dtype=np.float32)[pred] + 0.1
+    onehot_true = np.eye(3, dtype=np.float32)[true]
+
+    def ref_miou(p, t, k=3):
+        conf = np.bincount(k * t.ravel() + p.ravel(),
+                           minlength=k * k).reshape(k, k)
+        inter = np.diag(conf)
+        union = conf.sum(0) + conf.sum(1) - inter
+        v = union > 0
+        return float((inter[v] / union[v]).mean())
+
+    expect = ref_miou(pred, true)
+    for yp in (pred, logits):
+        for yt in (true, onehot_true):
+            m = MeanIoU(3)
+            m.update(yp, yt)
+            assert m.result() == pytest.approx(expect), (yp.shape, yt.shape)
+
+    # perfect prediction -> 1.0
+    m = MeanIoU(3)
+    m.update(true, true)
+    assert m.result() == pytest.approx(1.0)
+
+
 def test_convert_by_order_torch_cnn(rng):
     """Converter round-trip: torch CNN -> our CNN, outputs must match."""
     import torch.nn as tnn

@@ -32,11 +32,15 @@ class Circles(VisionDataset):
 
 def _create_image_and_mask(rng, nx, ny, nc, cnt=10, r_min=3, r_max=10,
                            border=32, sigma=20):
+    # Scale the keep-out border down for small images so the sampling
+    # interval [border, n - border) is never empty (nx<=64 crashed before).
+    bx = min(border, max(1, nx // 2 - r_max))
+    by = min(border, max(1, ny // 2 - r_max))
     image = np.ones((nx, ny, 1))
     mask = np.zeros((nx, ny), dtype=bool)
     for _ in range(cnt):
-        a = rng.integers(border, nx - border)
-        b = rng.integers(border, ny - border)
+        a = rng.integers(bx, nx - bx)
+        b = rng.integers(by, ny - by)
         r = rng.integers(r_min, r_max)
         h = rng.integers(1, 255)
         y, x = np.ogrid[-a:nx - a, -b:ny - b]

@@ -63,22 +63,47 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: list[BaseException] = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    # Poll the stop flag so an abandoned iterator (e.g.
+                    # Trainer's max_steps_per_epoch breaking early) does
+                    # not leave this thread blocked on a full queue.
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                while True:
+                    try:
+                        q.put_nowait(sentinel)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
+                        try:
+                            q.get_nowait()  # make room for the sentinel
+                        except queue.Empty:
+                            pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # Generator closed (early break / GC): release the worker.
+            stop.set()

@@ -269,9 +269,13 @@ class MaskRCNN(Module):
         # force each gt's best anchor positive
         gt_best_anchor = jnp.argmax(iou, axis=2)      # [B, M]
         bidx = jnp.arange(b)[:, None]
+        # Padded GTs route to the out-of-range sentinel (dropped), same as
+        # the box-head path below — scattering False at in-range index 0
+        # could nondeterministically clear a real forced positive there.
+        a_n = anchors.shape[0]
         force = jnp.zeros_like(pos).at[
-            bidx, jnp.where(gt_valid > 0, gt_best_anchor, 0)].set(
-            gt_valid > 0, mode="drop")
+            bidx, jnp.where(gt_valid > 0, gt_best_anchor, a_n)].set(
+            True, mode="drop")
         pos = pos | force
         neg = (best_iou < 0.3) & ~pos
 

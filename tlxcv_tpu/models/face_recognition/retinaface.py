@@ -116,7 +116,9 @@ def multi_box_loss(y_true, y_pred, neg_pos_ratio=3):
 
     sel = mask_pos | mask_hard_neg
     cls_true = mask_pos.astype(jnp.int32)
-    logp = jnp.log(class_pred + 1e-9)
+    # Probability-space CE: clip away from {0, 1} (1e-6 guideline) — raw
+    # log(p + tiny) NaNs under XLA reassociation (see CLAUDE.md).
+    logp = jnp.log(jnp.clip(class_pred, 1e-6, 1.0))
     ce = -jnp.take_along_axis(logp, cls_true[..., None], -1)[..., 0]
     loss_class = jnp.sum(ce * sel) / jnp.maximum(jnp.sum(sel), 1.0)
     return loss_loc, loss_landm, loss_class

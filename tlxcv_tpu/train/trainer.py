@@ -50,8 +50,21 @@ class Trainer:
 
         loss_fn = self.loss_fn
 
-        def _train_call(module, x, y):
-            out = module(x)
+        # Epoch-dependent training recipes (PPYOLOE's ATSS→TaskAligned
+        # assigner switch at `epoch_id < static_assigner_epoch`): thread
+        # the epoch through as a STATIC arg, bucketed to {0, switch} so
+        # exactly two jit variants exist (ADVICE r1: Trainer previously
+        # never passed it, silently pinning the static assigner).
+        self._assigner_switch_epoch = None
+        for obj in (network, getattr(network, "backbone", None)):
+            head = getattr(obj, "yolo_head", None) if obj is not None else None
+            for cand in (obj, head):
+                if cand is not None and hasattr(cand, "static_assigner_epoch"):
+                    self._assigner_switch_epoch = cand.static_assigner_epoch
+        takes_epoch = self._assigner_switch_epoch is not None
+
+        def _train_call(module, x, y, epoch_id=0):
+            out = module(x, epoch_id=epoch_id) if takes_epoch else module(x)
             loss = loss_fn(out, y)
             if isinstance(loss, tuple):
                 loss, out = loss[0], loss[1]
@@ -64,11 +77,13 @@ class Trainer:
         optimizer = self.optimizer
         loss_pure = self._loss_pure
 
-        @jax.jit
-        def train_step(params, state, opt_state, x, y, key):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("epoch_id",))
+        def train_step(params, state, opt_state, x, y, key, epoch_id=0):
             def lf(p):
                 (loss, out), new_state = loss_pure(
-                    p, state, x, y, training=True, rngs=Rngs(key))
+                    p, state, x, y, epoch_id, training=True, rngs=Rngs(key))
                 return loss, (out, new_state)
 
             (loss, (out, new_state)), grads = jax.value_and_grad(
@@ -106,6 +121,14 @@ class Trainer:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _epoch_bucket(self, epoch: int) -> int:
+        """Static epoch_id with at most two values (before/after the
+        assigner switch) so jit retraces at most once."""
+        sw = self._assigner_switch_epoch
+        if sw is None:
+            return 0
+        return 0 if epoch < sw else sw
+
     # ------------------------------------------------------------------
     def train(self, n_epoch: int, train_dataset, test_dataset=None,
               print_freq: int = 1, print_train_batch: bool = False,
@@ -127,7 +150,8 @@ class Trainer:
                 x, y = self._put_batch((x, y))
                 (self.params, self.state, self.opt_state, loss, out
                  ) = self._train_step(self.params, self.state, self.opt_state,
-                                      x, y, self._next_key())
+                                      x, y, self._next_key(),
+                                      epoch_id=self._epoch_bucket(epoch))
                 self.step += 1
                 losses.append(loss)
                 if self.metrics is not None:
@@ -173,7 +197,8 @@ class Trainer:
                     (self.params, self.state, self.opt_state, loss, out
                      ) = self._train_step(self.params, self.state,
                                           self.opt_state, x, y,
-                                          self._next_key())
+                                          self._next_key(),
+                                          epoch_id=self._epoch_bucket(epoch))
                     self.step += 1
                     losses.append(loss)
                     if self.metrics is not None:

@@ -70,9 +70,16 @@ class MeanIoU(Metric):
     def update(self, y_pred, y_true):
         pred = np.asarray(y_pred)
         true = np.asarray(y_true)
-        if pred.ndim == true.ndim:  # logits [..., C]
+        # Accepts any mix of logits [..., C] / one-hot [..., C] / int
+        # labels [...]. A trailing class axis is detected by rank
+        # difference, or — when ranks match — by a float class-sized
+        # last axis (both sides are then distributions).
+        both_dist = (pred.ndim == true.ndim
+                     and pred.shape[-1] == self.num_classes
+                     and not np.issubdtype(true.dtype, np.integer))
+        if pred.ndim > true.ndim or both_dist:
             pred = pred.argmax(-1)
-        if true.ndim > pred.ndim:  # one-hot target
+        if true.ndim > pred.ndim or both_dist:
             true = true.argmax(-1)
         k = self.num_classes
         idx = k * true.reshape(-1).astype(np.int64) + pred.reshape(-1)
