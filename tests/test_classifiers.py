@@ -59,11 +59,17 @@ FACTORIES = [
     ("cswin_micro", lambda **k: C.CSWinTransformer(
         img_size=112, embed_dim=32, depths=(1, 1, 2, 1), heads=(2, 2, 4, 8),
         split_sizes=(1, 2, 7, 4), **k), 112),
-    ("twins_micro", lambda **k: C.TwinsSVT(
-        dims=(16, 32, 64, 128), depths=(1, 1, 2, 1), heads=(1, 2, 4, 8),
-        wss=(7, 7, 3, 1), **k), 56),
+    ("twins_micro", lambda **k: C.ALTGVT(
+        embed_dims=(16, 32, 64, 128), num_heads=(1, 2, 4, 8),
+        mlp_ratios=(4, 4, 4, 4), depths=(1, 1, 2, 1), wss=(2, 2, 2, 2),
+        sr_ratios=(8, 4, 2, 1), **k), 64),
+    ("pcpvt_micro", lambda **k: C.CPVTV2(
+        embed_dims=(16, 32, 64, 128), num_heads=(1, 2, 4, 8),
+        mlp_ratios=(4, 4, 4, 4), depths=(1, 1, 1, 1),
+        sr_ratios=(8, 4, 2, 1), **k), 64),
     ("levit_micro", lambda **k: C.LeViT(
-        embed_dims=(32, 64, 96), depths=(1, 1, 1), heads=(2, 2, 2), **k), 64),
+        img_size=64, embed_dim=(32, 64, 96), key_dim=(8, 8, 8),
+        depth=(1, 1, 1), num_heads=(2, 2, 2), **k), 64),
     ("xception_deeplab", C.xception_deeplab, 64),
 ]
 

@@ -44,5 +44,10 @@ from .rexnet import ReXNet, rexnet_1_0, rexnet_1_3
 from .esnet import ESNet, PPLCNetV2, esnet_x1_0, pp_lcnet_v2
 from .tnt import PPHGNet, TNT, pp_hgnet_small, tnt_s
 from .cswin import CSWinTransformer, cswin_small, cswin_tiny
-from .gvt_levit import (LeViT, TwinsSVT, XceptionDeeplab, gvt_small,
-                        levit_128s, xception_deeplab)
+from .gvt import (ALTGVT, CPVTV2, alt_gvt_base, alt_gvt_large,
+                  alt_gvt_small, pcpvt_base, pcpvt_large, pcpvt_small)
+from .levit import (LeViT, levit_128, levit_128s, levit_192, levit_256,
+                    levit_384)
+from .xception_deeplab import XceptionDeeplab, xception_deeplab
+
+gvt_small = alt_gvt_small  # round-1 alias kept for back-compat

