@@ -83,7 +83,11 @@ class ResNet(nn.Module):
     pyramid for detection/segmentation necks."""
 
     def __init__(self, block=None, depth=50, width=64, num_classes=1000,
-                 with_pool=True, groups=1):
+                 with_pool=True, groups=1, strides=(2, 1, 2, 2, 2),
+                 in_channels=3):
+        """``strides`` = (conv1, layer1..layer4) — the RS change-detection
+        backbones vary these (reference rs/cd/models/stanet.py Backbone
+        strides=(2,1,2,2,2), dsamnet.py (1,1,2,2,1))."""
         if block is None:
             block, layer_counts = _DEPTH_CFG[depth]
         else:
@@ -93,15 +97,16 @@ class ResNet(nn.Module):
         self.groups = groups
         self.base_width = width
 
-        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.conv1 = nn.Conv2d(in_channels, 64, 7, stride=strides[0],
+                               padding=3, bias=False)
         self.bn1 = nn.BatchNorm(64)
         self.maxpool = nn.MaxPool2d(3, 2, 1)
 
         self.inplanes = 64
-        self.layer1 = self._make_layer(block, 64, layer_counts[0], 1)
-        self.layer2 = self._make_layer(block, 128, layer_counts[1], 2)
-        self.layer3 = self._make_layer(block, 256, layer_counts[2], 2)
-        self.layer4 = self._make_layer(block, 512, layer_counts[3], 2)
+        self.layer1 = self._make_layer(block, 64, layer_counts[0], strides[1])
+        self.layer2 = self._make_layer(block, 128, layer_counts[1], strides[2])
+        self.layer3 = self._make_layer(block, 256, layer_counts[2], strides[3])
+        self.layer4 = self._make_layer(block, 512, layer_counts[3], strides[4])
         self.feat_channels = [c * block.expansion for c in (64, 128, 256, 512)]
 
         if with_pool:

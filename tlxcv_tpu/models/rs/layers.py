@@ -11,8 +11,10 @@ __all__ = ["Conv1x1", "Conv3x3", "Conv7x7", "MaxPool2x2", "ConvTransposed3x3",
 
 
 class _ConvBlock(nn.Module):
-    def __init__(self, cin, cout, k, norm=False, act=False, **kw):
-        self.conv = nn.Conv2d(cin, cout, k, padding=k // 2, bias=not norm, **kw)
+    def __init__(self, cin, cout, k, norm=False, act=False, bias=None, **kw):
+        if bias is None:
+            bias = not norm  # reference blocks.py BasicConv 'auto' bias
+        self.conv = nn.Conv2d(cin, cout, k, padding=k // 2, bias=bias, **kw)
         self.norm = nn.BatchNorm(cout) if norm else None
         self.act = act
 

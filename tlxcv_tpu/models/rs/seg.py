@@ -14,51 +14,124 @@ __all__ = ["FarSeg", "RSUNet", "DeepLabV3P"]
 
 
 class FPN(nn.Module):
+    """Lateral 1x1 + nearest top-down + 3x3 smooth per level
+    (reference farseg.py FPN :78-106)."""
+
     def __init__(self, in_channels, out_ch=256):
-        self.lateral = [Conv1x1(c, out_ch) for c in in_channels]
-        self.output = [Conv3x3(out_ch, out_ch) for _ in in_channels]
+        self.inner_blocks = [Conv1x1(c, out_ch) for c in in_channels]
+        self.layer_blocks = [Conv3x3(out_ch, out_ch) for _ in in_channels]
 
     def __call__(self, feats):
-        lats = [l(f) for l, f in zip(self.lateral, feats)]
-        outs = [lats[-1]]
-        for i in range(len(lats) - 2, -1, -1):
-            up = interpolate(outs[0], size=lats[i].shape[1:3], mode="nearest")
-            outs.insert(0, lats[i] + up)
-        return [o(f) for o, f in zip(self.output, outs)]
+        last_inner = self.inner_blocks[-1](feats[-1])
+        results = [self.layer_blocks[-1](last_inner)]
+        for i in range(len(feats) - 2, -1, -1):
+            top_down = interpolate(last_inner, size=feats[i].shape[1:3],
+                                   mode="nearest")
+            last_inner = self.inner_blocks[i](feats[i]) + top_down
+            results.insert(0, self.layer_blocks[i](last_inner))
+        return results
+
+
+class FSRelation(nn.Module):
+    """Foreground-scene relation module (reference farseg.py FSRelation
+    :109-151) — restored vs the round-1 cosine sketch (VERDICT missing
+    #3).  Scale-aware scene projections, content encoders, sigmoid
+    channel-summed relations gating re-encoded features."""
+
+    def __init__(self, scene_ch, channels_list, out_ch,
+                 scale_aware_proj=True):
+        self.scale_aware_proj = scale_aware_proj
+        if scale_aware_proj:
+            self.scene_encoder = [nn.Sequential(
+                nn.Conv2d(scene_ch, out_ch, 1), nn.Activation("relu"),
+                nn.Conv2d(out_ch, out_ch, 1)) for _ in channels_list]
+        else:
+            self.scene_encoder = nn.Sequential(
+                nn.Conv2d(scene_ch, out_ch, 1), nn.Activation("relu"),
+                nn.Conv2d(out_ch, out_ch, 1))
+        self.content_encoders = [nn.Sequential(
+            nn.Conv2d(c, out_ch, 1), nn.BatchNorm(out_ch),
+            nn.Activation("relu")) for c in channels_list]
+        self.feature_reencoders = [nn.Sequential(
+            nn.Conv2d(c, out_ch, 1), nn.BatchNorm(out_ch),
+            nn.Activation("relu")) for c in channels_list]
+
+    def __call__(self, scene_feature, feature_list):
+        content_feats = [enc(f) for enc, f in zip(self.content_encoders,
+                                                  feature_list)]
+        if self.scale_aware_proj:
+            scene_feats = [op(scene_feature) for op in self.scene_encoder]
+            relations = [nn.sigmoid(jnp.sum(sf * cf, -1, keepdims=True))
+                         for sf, cf in zip(scene_feats, content_feats)]
+        else:
+            sf = self.scene_encoder(scene_feature)
+            relations = [nn.sigmoid(jnp.sum(sf * cf, -1, keepdims=True))
+                         for cf in content_feats]
+        p_feats = [op(f) for op, f in zip(self.feature_reencoders,
+                                          feature_list)]
+        return [r * p for r, p in zip(relations, p_feats)]
+
+
+class AsymmetricDecoder(nn.Module):
+    """Per-level conv+up chains to a common stride, averaged
+    (reference farseg.py AsymmetricDecoder :154-186)."""
+
+    def __init__(self, in_ch, out_ch, in_strides=(4, 8, 16, 32),
+                 out_stride=4):
+        import math
+
+        self.blocks = []
+        self.ups = []
+        for s in in_strides:
+            num_up = int(math.log2(s)) - int(math.log2(out_stride))
+            num_layers = num_up if num_up != 0 else 1
+            convs = []
+            for idx in range(num_layers):
+                convs.append(nn.Sequential(
+                    nn.Conv2d(in_ch if idx == 0 else out_ch, out_ch, 3,
+                              padding=1, bias=False),
+                    nn.BatchNorm(out_ch), nn.Activation("relu")))
+            self.blocks.append(convs)
+            self.ups.append(num_up != 0)
+
+    def __call__(self, feature_list):
+        outs = []
+        for convs, do_up, f in zip(self.blocks, self.ups, feature_list):
+            for conv in convs:
+                f = conv(f)
+                if do_up:
+                    f = interpolate(f, scale_factor=2, mode="bilinear",
+                                    align_corners=True)
+            outs.append(f)
+        return sum(outs) / len(outs)
 
 
 class FarSeg(nn.Module):
-    """Foreground-aware relation segmentation (reference farseg.py:243):
-    resnet + FPN + scene-embedding foreground modulation."""
+    """Foreground-aware relation segmentation network
+    (reference farseg.py :189-236)."""
 
-    def __init__(self, num_classes=16, backbone_depth=50, fpn_ch=256,
-                 out_ch=128):
-        self.backbone = ResNet(depth=backbone_depth, num_classes=0,
-                               with_pool=False)
-        self.fpn = FPN(self.backbone.feat_channels, fpn_ch)
-        c5 = self.backbone.feat_channels[-1]
-        self.scene_embed = nn.Conv2d(c5, fpn_ch, 1)
-        self.fg_convs = [Conv3x3(fpn_ch, out_ch, norm=True, act=True)
-                         for _ in range(4)]
-        self.head = Conv1x1(out_ch, num_classes)
+    def __init__(self, num_classes=16, backbone_depth=50, in_channels=3,
+                 fpn_out_channels=256, fsr_out_channels=256,
+                 scale_aware_proj=True, decoder_out_channels=128):
+        self.encoder = ResNet(depth=backbone_depth, num_classes=0,
+                              with_pool=False, in_channels=in_channels)
+        chs = self.encoder.feat_channels
+        self.fpn = FPN(chs, fpn_out_channels)
+        self.fsr = FSRelation(chs[-1], [fpn_out_channels] * 4,
+                              fsr_out_channels, scale_aware_proj)
+        self.decoder = AsymmetricDecoder(fsr_out_channels,
+                                         decoder_out_channels)
+        self.cls_head = nn.Conv2d(decoder_out_channels, num_classes, 1)
 
     def __call__(self, x):
-        feats = self.backbone.features(x)
+        feats = self.encoder.features(x)
         fpn_feats = self.fpn(feats)
-        scene = self.scene_embed(feats[-1].mean(axis=(1, 2), keepdims=True))
-        outs = []
-        size = fpn_feats[0].shape[1:3]
-        for conv, f in zip(self.fg_convs, fpn_feats):
-            # foreground relation: cosine modulation with the scene vector
-            rel = nn.sigmoid(jnp.sum(f * scene, -1, keepdims=True) /
-                             (jnp.linalg.norm(f, axis=-1, keepdims=True) *
-                              jnp.linalg.norm(scene, axis=-1, keepdims=True)
-                              + 1e-9))
-            f = conv(f * rel)
-            outs.append(interpolate(f, size=size, mode="bilinear"))
-        fused = sum(outs) / len(outs)
-        logits = self.head(fused)
-        return interpolate(logits, size=x.shape[1:3], mode="bilinear")
+        scene = feats[-1].mean(axis=(1, 2), keepdims=True)
+        refined = self.fsr(scene, fpn_feats)
+        feature = self.decoder(refined)
+        logits = self.cls_head(feature)
+        return interpolate(logits, size=x.shape[1:3], mode="bilinear",
+                           align_corners=True)
 
 
 class RSUNet(nn.Module):

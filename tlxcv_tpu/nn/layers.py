@@ -25,7 +25,7 @@ __all__ = [
     "BatchNorm", "BatchNorm2d", "LayerNorm", "GroupNorm", "InstanceNorm",
     "MaxPool2d", "AvgPool2d", "MaxPool3d", "AvgPool3d",
     "AdaptiveAvgPool2d", "GlobalAvgPool2d",
-    "Dropout", "DropPath", "Identity", "Sequential", "Activation",
+    "Dropout", "DropPath", "Identity", "Sequential", "Activation", "PReLU",
     "relu", "relu6", "gelu", "silu", "sigmoid", "softmax", "hardswish",
     "hardsigmoid", "leaky_relu", "mish", "tanh", "get_activation",
 ]
@@ -85,6 +85,18 @@ class Activation(Module):
 class Identity(Module):
     def __call__(self, x, *a, **k):
         return x
+
+
+class PReLU(Module):
+    """Parametric ReLU with a learnable negative slope (one shared scalar
+    by default, torch/paddle convention)."""
+
+    def __init__(self, num_parameters=1, init=0.25):
+        self.weight = Param(jnp.full((num_parameters,), init, jnp.float32))
+
+    def __call__(self, x):
+        a = self.weight.value.astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)
 
 
 class Sequential(Module):
