@@ -65,11 +65,35 @@ def _resize_axis_nearest(x, out_size, axis):
     return jnp.take(x, idx, axis=axis)
 
 
+def _tpu_default_backend() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def interpolate(x, size=None, scale_factor=None, mode="bilinear",
-                align_corners=False):
+                align_corners=False, fast_path=True):
     """NHWC resize with torch/paddle F.interpolate coordinate semantics
-    (reference escape #4, used by every FPN/seg decoder)."""
+    (reference escape #4, used by every FPN/seg decoder).
+
+    The exact-2x bilinear half-pixel case — the seg/FPN hot path
+    (BASELINE config #4) — routes to the MXU-matmul composition
+    (ops/pallas/upsample.upsample2x_matmul): measured fastest INSIDE
+    compiled graphs on v5e (chained in-jit bench, BENCHMARKS.md; the
+    fused Pallas kernel ties only in the dispatch-bound standalone
+    regime and is compile-fragile at large blocks, so it stays opt-in
+    via upsample2x_fused).  ``fast_path=False`` forces the reference
+    gather formulation (numerics tests)."""
     oh, ow = _out_size(x.shape[1:3], size, scale_factor)
+    if (fast_path and mode == "bilinear" and not align_corners
+            and x.ndim == 4 and oh == 2 * x.shape[1] and ow == 2 * x.shape[2]
+            and x.dtype in (jnp.float32, jnp.bfloat16)):
+        from .pallas.upsample import upsample2x_matmul
+
+        return upsample2x_matmul(x)
     if mode in ("nearest",):
         x = _resize_axis_nearest(x, oh, 1)
         x = _resize_axis_nearest(x, ow, 2)
