@@ -1,4 +1,4 @@
-from . import transforms
+from . import det_transforms, landmark_transforms, transforms
 from .casiawebface import CasiaWebFace
 from .charades import Charades
 from .cifar import Cifar10
@@ -10,7 +10,7 @@ from .synth90k import Synth90k
 from .vision import Dataset, StandardTransform, VisionDataset
 from .wider import Wider
 
-__all__ = ["transforms", "CasiaWebFace", "Charades", "Cifar10", "Circles",
+__all__ = ["transforms", "det_transforms", "landmark_transforms", "CasiaWebFace", "Charades", "Cifar10", "Circles",
            "CocoDetection", "CocoHumanPoseEstimation", "CocoIndex",
            "Face300W", "DataLoader", "default_collate", "Synth90k",
            "Dataset", "StandardTransform", "VisionDataset", "Wider"]

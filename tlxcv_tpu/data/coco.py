@@ -38,8 +38,14 @@ class CocoIndex:
 
 class CocoDetection(VisionDataset):
     def __init__(self, root, annotation_file, transforms=None, transform=None,
-                 target_transform=None, filter_crowd=True):
+                 target_transform=None, filter_crowd=True,
+                 raw_annotations=False):
+        """``raw_annotations=True`` yields the untouched COCO annotation
+        list as ``{"annotations": [...]}`` for pipelines that start with
+        data.det_transforms.LabelFormatConvert (the reference demo
+        contract); default parses to boxes/class_labels directly."""
         super().__init__(root, transforms, transform, target_transform)
+        self.raw_annotations = raw_annotations
         self.coco = CocoIndex(annotation_file)
         self.ids = []
         for img_id in self.coco.get_img_ids():
@@ -64,6 +70,12 @@ class CocoDetection(VisionDataset):
     def __getitem__(self, index):
         img_id = self.ids[index]
         image = self._load_image(img_id)
+        if self.raw_annotations:
+            target = {"annotations": self.coco.load_anns(img_id),
+                      "image_id": img_id}
+            if self.transforms:
+                image, target = self.transforms(image, target)
+            return image, target
         anns = [a for a in self.coco.load_anns(img_id)
                 if not a.get("iscrowd", 0)]
         boxes = np.asarray([a["bbox"] for a in anns], np.float32
