@@ -126,3 +126,78 @@ class Config:
             "gan": tasks.GAN,
         }
         return names[self.task](self.build_model())
+
+
+def load_seg_config(path):
+    """Load a PaddleSeg-style segmentation YAML with `_base_` inheritance
+    (reference tlxcv/models/segmentation/configs tree): child keys
+    override the base's; `loss`/`model`/datasets merge shallowly."""
+    import os
+
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    base_rel = cfg.pop("_base_", None)
+    if base_rel:
+        base = load_seg_config(
+            os.path.normpath(os.path.join(os.path.dirname(path), base_rel)))
+        base.update(cfg)
+        cfg = base
+    return cfg
+
+
+def build_seg_model(cfg_or_path):
+    """Build the segmentation model named by a seg config (dict or path)."""
+    cfg = (load_seg_config(cfg_or_path) if isinstance(cfg_or_path, str)
+           else dict(cfg_or_path))
+    from .models import segmentation as S
+
+    m = dict(cfg["model"])
+    name = m.pop("type")
+    kwargs = {}
+    if "num_classes" in m:
+        kwargs["num_classes"] = m["num_classes"]
+    # string backbone specs ("resnet50_vd") are built here
+    if isinstance(m.get("backbone"), str):
+        if name == "DeepLabV3P":
+            return S.deeplabv3p(backbone=m["backbone"], **kwargs)
+        from .models.backbones import resnet_vd
+
+        bb = getattr(resnet_vd, m["backbone"])()
+        kwargs["backbone"] = bb
+    factory = getattr(S, name, None)
+    if factory is None:
+        return create_model(name, **kwargs)
+    return factory(**kwargs)
+
+
+def build_gan_trainer(path):
+    """Build (nets, trainer) from a configs/gan/*.yaml recipe."""
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    kind = cfg["model"]
+    tkw = dict(cfg.get("trainer", {}))
+    if kind == "styleganv2":
+        from .models.gan import (StyleGANv2Discriminator,
+                                 StyleGANv2Generator)
+        from .train import StyleGANv2Trainer
+
+        g = StyleGANv2Generator(**cfg.get("generator", {}))
+        d = StyleGANv2Discriminator(**cfg.get("discriminator", {}))
+        return (g, d), StyleGANv2Trainer(g, d, **tkw)
+    if kind == "ugatit":
+        from .train import UGATITNets, UGATITTrainer
+
+        nets = UGATITNets(generator=cfg.get("generator"),
+                          disc_global=cfg.get("disc_global"),
+                          disc_local=cfg.get("disc_local"))
+        return nets, UGATITTrainer(nets, **tkw)
+    if kind == "starganv2":
+        from .train import StarGANv2Nets, StarGANv2Trainer
+
+        nets = StarGANv2Nets(**cfg.get("nets", {}))
+        return nets, StarGANv2Trainer(nets, **tkw)
+    raise ValueError(f"no gan trainer recipe for {kind!r}")

@@ -163,10 +163,11 @@ class StyleGANv2Generator(Module):
             z = layer(z)
         return z
 
-    def __call__(self, z):
-        """z [B, style_dim] -> image [B, size, size, 3]."""
-        w = self.mapping(z)
-        b = z.shape[0]
+    def synthesis(self, w):
+        """w [B, style_dim] -> image; exposed separately so the
+        path-length regularizer can differentiate wrt w
+        (reference styleganv2_model.py g_path_regularize)."""
+        b = w.shape[0]
         x = jnp.broadcast_to(self.input_const.value,
                              (b,) + self.input_const.value.shape[1:])
         x = self.conv1(x, w)
@@ -176,6 +177,10 @@ class StyleGANv2Generator(Module):
             x = self.convs[i + 1](x, w)
             skip = self.to_rgbs[i // 2](x, w, skip)
         return skip
+
+    def __call__(self, z):
+        """z [B, style_dim] -> image [B, size, size, 3]."""
+        return self.synthesis(self.mapping(z))
 
 
 class DiscBlock(Module):

@@ -1,4 +1,10 @@
 from . import optimizers
+from .gan_trainer import GANTrainer
+from .starganv2_trainer import StarGANv2Nets, StarGANv2Trainer
+from .stylegan_trainer import StyleGANv2Trainer
 from .trainer import Model, Trainer
+from .ugatit_trainer import UGATITNets, UGATITTrainer
 
-__all__ = ["optimizers", "Model", "Trainer"]
+__all__ = ["optimizers", "Model", "Trainer", "GANTrainer",
+           "StyleGANv2Trainer", "UGATITNets", "UGATITTrainer",
+           "StarGANv2Nets", "StarGANv2Trainer"]
