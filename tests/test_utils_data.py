@@ -40,6 +40,33 @@ def test_map_degrades_with_misses(rng):
     assert stats["map"] == res["map"]
 
 
+def test_map_coco_protocol_golden_values():
+    """Hand-derived COCO-protocol golden values (VERDICT r1 weak #10 —
+    no pycocotools in this image, so the oracle is the published
+    protocol computed analytically):
+
+    img1: GT [0,0,10,10]; det A == GT (IoU 1.0, score .9).
+    img2: GT [0,0,10,10]; det B [0,0,10,5] (IoU exactly 0.5, score .8)
+          and false positive det C (score .7).
+
+    At thr 0.50: A,B TP, C FP -> 101-pt AP = 1.0.
+    At thr 0.55..0.95: only A matches; max recall 0.5 at precision 1
+      -> AP = 51/101 (recall samples 0.00..0.50 inclusive score 1).
+    mAP = (1 + 9 * 51/101) / 10.
+    """
+    gts = [{"boxes": np.asarray([[0, 0, 10, 10.0]]), "labels": [0]},
+           {"boxes": np.asarray([[0, 0, 10, 10.0]]), "labels": [0]}]
+    preds = [{"boxes": np.asarray([[0, 0, 10, 10.0]]), "labels": [0],
+              "scores": [0.9]},
+             {"boxes": np.asarray([[0, 0, 10, 5.0], [50, 50, 60, 60.0]]),
+              "labels": [0, 0], "scores": [0.8, 0.7]}]
+    res = compute_map(preds, gts)
+    assert res["map50"] == pytest.approx(1.0, abs=1e-9)
+    ap_high = 51 / 101
+    assert res["map75"] == pytest.approx(ap_high, abs=1e-9)
+    assert res["map"] == pytest.approx((1.0 + 9 * ap_high) / 10, abs=1e-9)
+
+
 def test_mean_iou_all_input_shapes(rng):
     """MeanIoU must accept logits/one-hot/int in any combination
     (ADVICE r1: the mixed cases broadcast-crashed or corrupted the

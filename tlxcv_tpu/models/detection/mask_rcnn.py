@@ -21,7 +21,8 @@ from ...core import init as I
 from ...core.module import Module, is_training
 from ...ops.boxes import bbox2delta, clip_boxes, delta2bbox, pairwise_iou
 from ...ops.nms import nms
-from ...ops.roi_align import paste_masks, roi_align
+from ...ops.roi_align import (multilevel_roi_align,
+                              paste_masks, roi_align)
 
 __all__ = ["MaskRCNN", "FPN", "RPNHead"]
 
@@ -111,18 +112,11 @@ class MaskHead(Module):
 
 
 def _multilevel_roi_align(feats, boxes, output_size):
-    """RoIAlign with FPN level assignment (P2..P5), static shapes:
-    compute on every level and select by the canonical k formula."""
-    strides = (4, 8, 16, 32)
-    area = jnp.maximum(boxes[..., 2] - boxes[..., 0], 1.0) * \
-        jnp.maximum(boxes[..., 3] - boxes[..., 1], 1.0)
-    k = jnp.floor(4 + jnp.log2(jnp.sqrt(area) / 224.0 + 1e-9))
-    k = jnp.clip(k, 2, 5) - 2  # 0..3 over P2..P5
-    pooled = [roi_align(f, boxes, output_size, 1.0 / s)
-              for f, s in zip(feats[:4], strides)]
-    stacked = jnp.stack(pooled, axis=2)  # [N, R, 4, S, S, C]
-    sel = jax.nn.one_hot(k.astype(jnp.int32), 4)[..., None, None, None]
-    return jnp.sum(stacked * sel, axis=2)
+    """RoIAlign with FPN level assignment over the flattened pyramid —
+    exactly one level's worth of gathers per box (the round-1
+    all-levels + one-hot-select formulation cost 4x the gather volume
+    and dominated the 26 img/s profile; ops.roi_align.multilevel_roi_align)."""
+    return multilevel_roi_align(feats, boxes, output_size)
 
 
 class MaskRCNN(Module):

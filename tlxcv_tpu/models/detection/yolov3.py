@@ -83,14 +83,44 @@ class YOLOv3FPN(nn.Module):
 
 class YOLOv3Head(nn.Module):
     def __init__(self, in_channels=(1024, 512, 256), anchors=DEFAULT_ANCHORS,
-                 anchor_masks=DEFAULT_MASKS, num_classes=80):
+                 anchor_masks=DEFAULT_MASKS, num_classes=80,
+                 iou_aware=False, iou_aware_factor=0.4):
+        """``iou_aware`` adds one IoU-prediction channel per anchor
+        (first in the channel block, reference yolov3.py:281,:355-376);
+        at eval the objectness is recombined as
+        obj^(1-f) * ioup^f (de-sigmoided)."""
         self.num_classes = num_classes
+        self.iou_aware = iou_aware
+        self.iou_aware_factor = iou_aware_factor
         self.anchors = [[tuple(anchors[i]) for i in mask] for mask in anchor_masks]
         self.mask_anchors = [sum(([*anchors[i]] for i in mask), [])
                              for mask in anchor_masks]
         self.yolo_outputs = [
-            nn.Conv2d(ch, len(m) * (num_classes + 5), 1)
+            nn.Conv2d(ch, len(m) * (num_classes + 5)
+                      + (len(m) if iou_aware else 0), 1)
             for ch, m in zip(in_channels, anchor_masks)]
+
+    def split_ioup(self, out, level):
+        """[B, H, W, na + na*(5+nc)] -> (ioup [B, H, W, na], rest)."""
+        na = len(self.anchors[level])
+        return out[..., :na], out[..., na:]
+
+    def recombine_iou_aware(self, out, level):
+        """Eval-time objectness recombination (reference :355-376)."""
+        if not self.iou_aware:
+            return out
+        na = len(self.anchors[level])
+        ioup, x = self.split_ioup(out, level)
+        b, h, w, _ = x.shape
+        x = x.reshape(b, h, w, na, -1)
+        obj = jax.nn.sigmoid(x[..., 4])
+        iou_p = jax.nn.sigmoid(ioup)
+        f = self.iou_aware_factor
+        obj_t = jnp.clip(obj ** (1 - f) * iou_p ** f, 1e-7, 1 - 1e-7)
+        obj_logit = jnp.log(obj_t) - jnp.log1p(-obj_t)  # de-sigmoid
+        x = jnp.concatenate([x[..., :4], obj_logit[..., None], x[..., 5:]],
+                            -1)
+        return x.reshape(b, h, w, -1)
 
     def __call__(self, feats):
         return [conv(f) for conv, f in zip(self.yolo_outputs, feats)]
@@ -189,14 +219,17 @@ class YOLOv3Loss(nn.Module):
         self.label_smooth = label_smooth
         self.downsamples = downsamples
 
-    def __call__(self, head_outs, targets_per_level, gt_boxes, anchors):
+    def __call__(self, head_outs, targets_per_level, gt_boxes, anchors,
+                 ioups=None):
         total = 0.0
-        for p, t, anchor, ds in zip(head_outs, targets_per_level, anchors,
-                                    self.downsamples):
-            total = total + self._level_loss(p, t, gt_boxes, anchor, ds)
+        for li, (p, t, anchor, ds) in enumerate(zip(
+                head_outs, targets_per_level, anchors, self.downsamples)):
+            ioup = None if ioups is None else ioups[li]
+            total = total + self._level_loss(p, t, gt_boxes, anchor, ds,
+                                             ioup=ioup)
         return total
 
-    def _level_loss(self, p, t, gt_box, anchor, ds):
+    def _level_loss(self, p, t, gt_box, anchor, ds, ioup=None):
         b, h, w, c = p.shape
         na = len(anchor)
         p = p.reshape(b, h, w, na, -1)
@@ -242,7 +275,29 @@ class YOLOv3Loss(nn.Module):
             delta = min(1.0 / self.num_classes, 1.0 / 40)
             tcls = jnp.where(tcls > 0, 1 - delta, delta)
         loss_cls = (bce(pcls, tcls) * tobj[..., None]).reshape(b, -1).sum(-1).mean()
-        return loss_xy + loss_wh + loss_obj + loss_cls
+        total = loss_xy + loss_wh + loss_obj + loss_cls
+
+        if ioup is not None:
+            # IoU-aware branch: BCE(ioup, IoU(pred box, target box)) at
+            # positive cells (PaddleDet IouAwareLoss semantics)
+            tbox = _decode_level(
+                jnp.stack([jnp.log(jnp.clip(tx, 1e-7, 1 - 1e-7))
+                           - jnp.log1p(-jnp.clip(tx, 1e-7, 1 - 1e-7)),
+                           jnp.log(jnp.clip(ty, 1e-7, 1 - 1e-7))
+                           - jnp.log1p(-jnp.clip(ty, 1e-7, 1 - 1e-7)),
+                           tw, th], -1), anchor, ds, (h, w))
+            pb = pbox.reshape(b, h, w, na, 4)
+            inter_xy = jnp.minimum(pb[..., :2] + pb[..., 2:] / 2,
+                                   tbox[..., :2] + tbox[..., 2:] / 2) - \
+                jnp.maximum(pb[..., :2] - pb[..., 2:] / 2,
+                            tbox[..., :2] - tbox[..., 2:] / 2)
+            inter = jnp.clip(inter_xy[..., 0], 0) * jnp.clip(inter_xy[..., 1], 0)
+            union = (pb[..., 2] * pb[..., 3] + tbox[..., 2] * tbox[..., 3]
+                     - inter + 1e-9)
+            cell_iou = jax.lax.stop_gradient(inter / union)
+            loss_iou_aware = bce(ioup.reshape(b, h, w, na), cell_iou) * tobj
+            total = total + loss_iou_aware.reshape(b, -1).sum(-1).mean()
+        return total
 
 
 class YOLOv3(nn.Module):
@@ -253,13 +308,16 @@ class YOLOv3(nn.Module):
     def __init__(self, num_classes=80, anchors=DEFAULT_ANCHORS,
                  anchor_masks=DEFAULT_MASKS, score_threshold=0.01,
                  nms_threshold=0.5, nms_top_k=1000, keep_top_k=100,
-                 use_matrix_nms=False):
+                 use_matrix_nms=False, iou_aware=False,
+                 iou_aware_factor=0.4):
         self.use_matrix_nms = use_matrix_nms
         self.backbone = DarkNet()
         self.neck = YOLOv3FPN(in_channels=self.backbone.out_channels)
         self.yolo_head = YOLOv3Head(in_channels=self.neck.out_channels,
                                     anchors=anchors, anchor_masks=anchor_masks,
-                                    num_classes=num_classes)
+                                    num_classes=num_classes,
+                                    iou_aware=iou_aware,
+                                    iou_aware_factor=iou_aware_factor)
         self.loss = YOLOv3Loss(num_classes=num_classes)
         self.num_classes = num_classes
         self.anchors = anchors
@@ -288,8 +346,15 @@ class YOLOv3(nn.Module):
         tgt = gt2yolo_targets(
             gt_boxes, gt_class, gt_score, self.anchors, self.anchor_masks,
             self.loss.downsamples, outputs["input_hw"], self.num_classes)
-        return self.loss(outputs["head_outs"], tgt, gt_boxes,
-                         self.yolo_head.anchors)
+        head_outs = outputs["head_outs"]
+        ioups = None
+        if self.yolo_head.iou_aware:
+            split = [self.yolo_head.split_ioup(o, i)
+                     for i, o in enumerate(head_outs)]
+            ioups = [sp[0] for sp in split]
+            head_outs = [sp[1] for sp in split]
+        return self.loss(head_outs, tgt, gt_boxes,
+                         self.yolo_head.anchors, ioups=ioups)
 
     def post_process(self, head_outs, input_hw):
         """On-device decode + NMS, all static shapes (BASELINE config #3)."""
@@ -297,8 +362,9 @@ class YOLOv3(nn.Module):
         n = head_outs[0].shape[0]
         img_size = jnp.broadcast_to(jnp.asarray([[h, w]], jnp.int32), (n, 2))
         boxes_all, scores_all = [], []
-        for out, mask_anchor, ds in zip(head_outs, self.yolo_head.mask_anchors,
-                                        DOWNSAMPLES):
+        for li, (out, mask_anchor, ds) in enumerate(zip(
+                head_outs, self.yolo_head.mask_anchors, DOWNSAMPLES)):
+            out = self.yolo_head.recombine_iou_aware(out, li)
             bx, sc = yolo_box(out, img_size, mask_anchor, self.num_classes,
                               conf_thresh=0.005, downsample_ratio=ds)
             boxes_all.append(bx)

@@ -14,7 +14,94 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["roi_align", "paste_masks"]
+__all__ = ["roi_align", "multilevel_roi_align", "paste_masks"]
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
+                                             "strides"))
+def multilevel_roi_align(feats, boxes, output_size: int = 7,
+                         sampling_ratio: int = 2, strides=(4, 8, 16, 32)):
+    """FPN RoIAlign with per-box level selection over a FLATTENED pyramid.
+
+    The naive static-shape formulation computes RoIAlign on every level
+    and one-hot-selects (4x the gather volume — the round-1 Mask R-CNN
+    bottleneck).  Here all levels are concatenated into one [N, sum(HW), C]
+    table; each box computes its canonical FPN level k and its sample
+    coordinates IN THAT LEVEL, then issues exactly one level's worth of
+    gathers with flat indices offset by the level start.
+
+    feats: list of [N, H_l, W_l, C] (P2..P5); boxes [N, R, 4] xyxy image
+    pixels.  Returns [N, R, S, S, C].
+    """
+    n, _, _, c = feats[0].shape
+    hws = [f.shape[1:3] for f in feats[:len(strides)]]
+    flat = jnp.concatenate([f.reshape(n, -1, c)
+                            for f in feats[:len(strides)]], axis=1)
+    offs, acc = [], 0
+    for h, w in hws:
+        offs.append(acc)
+        acc += h * w
+    level_off = jnp.asarray(offs, jnp.int32)
+    level_h = jnp.asarray([h for h, _ in hws], jnp.int32)
+    level_w = jnp.asarray([w for _, w in hws], jnp.int32)
+    stride_arr = jnp.asarray(strides, jnp.float32)
+
+    s = output_size
+    sr = sampling_ratio
+
+    # canonical level: k0 + log2(sqrt(area)/224)
+    area = (jnp.maximum(boxes[..., 2] - boxes[..., 0], 1.0) *
+            jnp.maximum(boxes[..., 3] - boxes[..., 1], 1.0))
+    k = jnp.floor(4 + jnp.log2(jnp.sqrt(area) / 224.0 + 1e-9))
+    k = (jnp.clip(k, 2, 5) - 2).astype(jnp.int32)        # [N, R] in 0..3
+
+    def per_image(table, bxs, ks):
+        scale = 1.0 / stride_arr[ks]                     # [R]
+        b = bxs * scale[:, None]
+        x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+        bin_h = jnp.maximum(y2 - y1, 1.0) / s
+        bin_w = jnp.maximum(x2 - x1, 1.0) / s
+        iy = (jnp.arange(s * sr) + 0.5) / sr
+        ys = y1[:, None] + bin_h[:, None] * iy[None, :] - 0.5   # [R, s*sr]
+        xs = x1[:, None] + bin_w[:, None] * iy[None, :] - 0.5
+        hk = level_h[ks].astype(jnp.float32)[:, None]    # [R, 1]
+        wk = level_w[ks].astype(jnp.float32)[:, None]
+
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xs)
+        wy1 = (ys - y0)[:, :, None]                      # [R, S, 1]
+        wx1 = (xs - x0)[:, None, :]                      # [R, 1, S]
+        y0i = jnp.clip(y0, 0, hk - 1).astype(jnp.int32)
+        y1i = jnp.minimum(y0i + 1, (hk - 1).astype(jnp.int32))
+        x0i = jnp.clip(x0, 0, wk - 1).astype(jnp.int32)
+        x1i = jnp.minimum(x0i + 1, (wk - 1).astype(jnp.int32))
+        vy = ((ys > -1.0) & (ys < hk))[:, :, None]
+        vx = ((xs > -1.0) & (xs < wk))[:, None, :]
+        valid = (vy & vx)[..., None]
+
+        off = level_off[ks][:, None]                     # [R, 1]
+        wki = level_w[ks][:, None]
+        row0 = off + y0i * wki                           # [R, S]
+        row1 = off + y1i * wki
+
+        def g(rows, cols):
+            idx = rows[:, :, None] + cols[:, None, :]    # [R, S, S]
+            return table[idx.reshape(-1)].reshape(idx.shape + (c,))
+
+        v00 = g(row0, x0i)
+        v01 = g(row0, x1i)
+        v10 = g(row1, x0i)
+        v11 = g(row1, x1i)
+        out = (v00 * (1 - wy1[..., None]) * (1 - wx1[..., None])
+               + v01 * (1 - wy1[..., None]) * wx1[..., None]
+               + v10 * wy1[..., None] * (1 - wx1[..., None])
+               + v11 * wy1[..., None] * wx1[..., None])
+        out = jnp.where(valid, out, 0.0)
+        r = out.shape[0]
+        out = out.reshape(r, s, sr, s, sr, c)
+        return out.mean(axis=(2, 4))
+
+    return jax.vmap(per_image)(flat, boxes, k)
 
 
 def _bilinear_gather(feat, ys, xs):
