@@ -71,3 +71,61 @@ def test_cer():
     assert edit_distance("kitten", "sitting") == 3
     assert character_error_rate(["abc"], ["abc"]) == 0.0
     assert character_error_rate(["abd"], ["abc"]) == pytest.approx(1 / 3)
+
+
+def test_trocr_beam_search(rng):
+    """Beam search (jitted, KV-cache, per-step beam reorder): width 1
+    reproduces greedy exactly; exhaustive width equals the brute-force
+    global optimum."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tlxcv_tpu.core import pure, split
+    from tlxcv_tpu.models.ocr.trocr import TrOCR
+
+    V, T = 6, 3
+    m = TrOCR(vocab_size=V, encoder_dim=16, encoder_depth=1,
+              encoder_heads=2, decoder_dim=16, decoder_depth=1,
+              decoder_heads=2, img_size=32, patch_size=16, max_length=T)
+    params, state = split(m)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+
+    greedy, _ = pure(m, lambda mm, v: mm.generate(v))(params, state, x)
+    beam1, _ = pure(m, lambda mm, v: mm.generate_beam(v, num_beams=1))(
+        params, state, x)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam1))
+
+    def seq_logprob_batch(toks_np, img):
+        def f(mm, v, toks):
+            mem = jnp.repeat(mm.encode(v), toks.shape[0], 0)
+            b, n = toks.shape
+            bos = jnp.full((b, 1), mm.bos_token_id, toks.dtype)
+            logits = mm.decoder(jnp.concatenate([bos, toks[:, :-1]], 1), mem)
+            lp = jax.nn.log_softmax(logits, -1)
+            tok_lp = jnp.take_along_axis(lp, toks[..., None], -1)[..., 0]
+            em = jnp.cumsum((toks == mm.eos_token_id).astype(jnp.int32), 1)
+            alive = (em - (toks == mm.eos_token_id).astype(jnp.int32)) == 0
+            return (tok_lp * alive).sum(1)
+        out, _ = pure(m, f)(params, state, img, jnp.asarray(toks_np))
+        return np.asarray(out)
+
+    cands = []
+    for seq in itertools.product(range(V), repeat=T):
+        seen = False
+        ok = True
+        for t in seq:
+            if seen and t != m.pad_token_id:
+                ok = False
+                break
+            seen = seen or t == m.eos_token_id
+        if ok:
+            cands.append(seq)
+    cands = np.asarray(cands, np.int32)
+    img0 = x[:1]
+    scores = seq_logprob_batch(cands, img0)
+    beam, _ = pure(m, lambda mm, v: mm.generate_beam(
+        v, num_beams=len(cands), length_penalty=0.0))(params, state, img0)
+    got = seq_logprob_batch(np.asarray(beam), img0)[0]
+    assert got == pytest.approx(float(scores.max()), abs=1e-4)

@@ -235,3 +235,67 @@ class TrOCR(Module):
                 jnp.zeros((b,), bool))
         _, tokens = jax.lax.scan(step, init, jnp.arange(self.max_length))
         return jnp.transpose(tokens)  # [B, T]
+
+    def generate_beam(self, images=None, memory=None, num_beams=4,
+                      length_penalty=1.0):
+        """Beam search, fully on-device: one lax.scan over positions with
+        a KV cache replicated per beam and reordered by gather at every
+        step (the reference's generate is a host-driven greedy while-loop
+        with no cache at all — trocr.py:166-185).
+
+        Returns [B, T] tokens of the best finished beam (by
+        sum-logprob / length**length_penalty).
+        """
+        if memory is None:
+            memory = self.encode(images)
+        b = memory.shape[0]
+        k = num_beams
+        neg = jnp.asarray(-1e9, memory.dtype)
+        mem = jnp.repeat(memory, k, axis=0)            # [B*K, M, D]
+        cache = self.decoder.init_cache(b * k, self.max_length, memory.dtype)
+        vocab = self.decoder.output_projection.weight.value.shape[-1]
+
+        # only beam 0 live at the start (all beams share BOS)
+        scores0 = jnp.tile(
+            jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), -1e9)]),
+            (b, 1)).astype(memory.dtype)
+
+        def step(carry, pos):
+            last, buf, scores, done, lengths, cache = carry
+            logits, cache = self.decoder.decode_step(
+                last.reshape(b * k), pos, mem, cache)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            logp = logp.reshape(b, k, vocab).astype(memory.dtype)
+            # finished beams may only emit PAD at zero cost
+            pad_only = jnp.full((vocab,), neg).at[self.pad_token_id].set(0.0)
+            logp = jnp.where(done[..., None], pad_only[None, None], logp)
+            cand = (scores[..., None] + logp).reshape(b, k * vocab)
+            scores, idx = jax.lax.top_k(cand, k)       # [B, K]
+            beam_idx = idx // vocab
+            tok = (idx % vocab).astype(jnp.int32)
+
+            gather = lambda x: jnp.take_along_axis(
+                x, beam_idx.reshape(beam_idx.shape + (1,) * (x.ndim - 2)),
+                axis=1)
+            buf = gather(buf)
+            done_prev = jnp.take_along_axis(done, beam_idx, 1)
+            lengths = jnp.take_along_axis(lengths, beam_idx, 1)
+            lengths = lengths + (~done_prev).astype(lengths.dtype)
+            done = done_prev | (tok == self.eos_token_id)
+            buf = jax.lax.dynamic_update_slice(
+                buf, tok[..., None], (0, 0, pos))
+            flat = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)
+            cache = jax.tree_util.tree_map(lambda c: c[flat], cache)
+            return (tok, buf, scores, done, lengths, cache), None
+
+        init = (jnp.full((b, k), self.bos_token_id, jnp.int32),
+                jnp.full((b, k, self.max_length), self.pad_token_id,
+                         jnp.int32),
+                scores0, jnp.zeros((b, k), bool),
+                jnp.zeros((b, k), jnp.float32), cache)
+        (last, buf, scores, done, lengths, _), _ = jax.lax.scan(
+            step, init, jnp.arange(self.max_length))
+        final = scores.astype(jnp.float32) / jnp.maximum(
+            lengths, 1.0) ** length_penalty
+        best = jnp.argmax(final, axis=1)
+        return buf[jnp.arange(b), best]
