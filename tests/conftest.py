@@ -26,3 +26,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_init_seed():
+    """Weight init draws from core.init's global host RNG; reset it per
+    test so every test builds the same weights it would standalone —
+    without this, tests that train to an accuracy bar fail depending on
+    how many models earlier tests constructed (order-dependent init)."""
+    from tlxcv_tpu.core import init as I
+
+    I.set_seed(0)

@@ -1,0 +1,65 @@
+"""Post-training int8 quantization (ops/quant.py): weight-only and
+full-int8 serving paths."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tlxcv_tpu.core import pure, split
+from tlxcv_tpu.models import resnet18
+from tlxcv_tpu.ops.quant import (calibrate_activations, dequantize_check,
+                                 quantize_weights)
+
+
+def _cos(a, b):
+    return float((a * b).sum() /
+                 (jnp.linalg.norm(a) * jnp.linalg.norm(b) + 1e-12))
+
+
+def test_weight_only_int8_close_and_jittable(rng):
+    x = jnp.asarray(rng.normal(size=(4, 64, 64, 3)), jnp.float32)
+    m = resnet18(num_classes=10)
+    p, s = split(m)
+    ref, _ = pure(m)(p, s, x)
+
+    n = quantize_weights(m)
+    assert n == 21  # every conv + fc in resnet18
+    p8, s8 = split(m)
+    assert any(v.dtype == jnp.int8 for v in p8.values())
+    out, _ = jax.jit(lambda pp, ss, v: pure(m)(pp, ss, v))(p8, s8, x)
+    assert _cos(ref, out) > 0.999
+    assert (ref.argmax(-1) == out.argmax(-1)).all()
+    assert dequantize_check(m)
+
+
+def test_full_int8_after_calibration(rng):
+    x = jnp.asarray(rng.normal(size=(4, 64, 64, 3)), jnp.float32)
+    m = resnet18(num_classes=10)
+    p, s = split(m)
+    ref, _ = pure(m)(p, s, x)
+
+    quantize_weights(m)
+    n = calibrate_activations(m, [np.asarray(x[:2])])
+    assert n == 21
+    p8, s8 = split(m)
+    # a_scale params exist and flow through split()
+    assert any(k.endswith("a_scale") for k in p8)
+    out, _ = jax.jit(lambda pp, ss, v: pure(m)(pp, ss, v))(p8, s8, x)
+    assert _cos(ref, out) > 0.995
+
+
+def test_int8_linear_matches_float(rng):
+    import tlxcv_tpu.nn as nn
+    from tlxcv_tpu.core.module import Param
+
+    lin = nn.Linear(32, 16)
+    x = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32)
+    ref = lin(x)
+    w = np.asarray(lin.weight.value, np.float32)
+    s = np.abs(w).max(axis=0) / 127.0
+    lin.weight.value = jnp.asarray(
+        np.clip(np.round(w / s), -127, 127).astype(np.int8))
+    lin.w_scale = Param(jnp.asarray(s, jnp.float32))
+    out = lin(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05,
+                               rtol=0.05)

@@ -169,7 +169,10 @@ class Conv2d(Module):
             self.bias = None
 
     def __call__(self, x):
-        w = self.weight.value.astype(x.dtype)
+        w = self.weight.value
+        if w.dtype == jnp.int8:
+            return self._int8_call(x, w)
+        w = w.astype(x.dtype)
         y = lax.conv_general_dilated(
             x, w,
             window_strides=self.stride,
@@ -181,6 +184,37 @@ class Conv2d(Module):
         if self.bias is not None:
             y = y + self.bias.value.astype(y.dtype)
         return y
+
+    def _int8_call(self, x, w):
+        """Quantized serving path (ops.quant): int8 weights with
+        per-output-channel scales; when an activation scale has been
+        calibrated the conv runs int8 x int8 -> int32 on the MXU (2x
+        bf16 peak on v5e), else weight-only dequantized bf16."""
+        out_dtype = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) \
+            else jnp.float32
+        w_scale = self.w_scale.value  # [Cout] f32
+        a_scale = getattr(self, "a_scale", None)
+        if a_scale is not None:
+            s_in = a_scale.value  # scalar f32
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
+                          -127, 127).astype(jnp.int8)
+            y = lax.conv_general_dilated(
+                xq, w, window_strides=self.stride, padding=self.padding,
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (s_in * w_scale)
+        else:
+            wf = (w.astype(jnp.float32) * w_scale).astype(out_dtype)
+            y = lax.conv_general_dilated(
+                x, wf, window_strides=self.stride, padding=self.padding,
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups)
+        if self.bias is not None:
+            y = y + self.bias.value.astype(y.dtype)
+        return y.astype(out_dtype)
 
 
 class ConvTranspose2d(Module):
@@ -262,8 +296,25 @@ class Linear(Module):
             self.bias = None
 
     def __call__(self, x):
-        y = jnp.dot(x, self.weight.value.astype(x.dtype),
-                    preferred_element_type=x.dtype)
+        w = self.weight.value
+        if w.dtype == jnp.int8:
+            out_dtype = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) \
+                else jnp.float32
+            w_scale = self.w_scale.value  # [out] f32
+            a_scale = getattr(self, "a_scale", None)
+            if a_scale is not None:
+                s_in = a_scale.value
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
+                              -127, 127).astype(jnp.int8)
+                y = jnp.dot(xq, w, preferred_element_type=jnp.int32)
+                y = y.astype(jnp.float32) * (s_in * w_scale)
+            else:
+                wf = (w.astype(jnp.float32) * w_scale).astype(out_dtype)
+                y = jnp.dot(x, wf, preferred_element_type=out_dtype)
+            if self.bias is not None:
+                y = y + self.bias.value.astype(y.dtype)
+            return y.astype(out_dtype)
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
         if self.bias is not None:
             y = y + self.bias.value.astype(y.dtype)
         return y
