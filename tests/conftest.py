@@ -37,3 +37,13 @@ def _reset_init_seed():
     from tlxcv_tpu.core import init as I
 
     I.set_seed(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables (and their baked-in constants) between
+    test modules: the suite otherwise accumulates tens of GB of live
+    XLA buffers across ~30 modules and hits the 66 GB commit limit with
+    a C++ bad_alloc (SIGABRT) late in the run."""
+    yield
+    jax.clear_caches()

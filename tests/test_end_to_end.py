@@ -47,9 +47,12 @@ def test_resnet18_trains_and_memorizes(rng):
 
 
 def test_trainer_save_load_roundtrip(tmp_path, rng):
+    # resnet18, not vgg11: the BN save/load semantics are identical but
+    # vgg11's 128M params x (adam state) x 8 virtual devices was a ~16GB
+    # commit spike that aborted the suite near the memory ceiling
     x, y = make_classification_data(rng, n=16)
     loader = DataLoader(ArrayPairs(x, y), batch_size=8)
-    model = ImageClassification(vgg11(batch_norm=True, num_classes=4))
+    model = ImageClassification(resnet18(num_classes=4))
     trainer = Trainer(network=model, optimizer=optimizers.Adam(1e-3))
     trainer.train(n_epoch=1, train_dataset=loader, print_freq=10)
     pred_before = np.asarray(trainer.predict(x[:4]))
@@ -57,7 +60,7 @@ def test_trainer_save_load_roundtrip(tmp_path, rng):
     path = str(tmp_path / "model.npz")
     trainer.save_weights(path)
 
-    model2 = ImageClassification(vgg11(batch_norm=True, num_classes=4))
+    model2 = ImageClassification(resnet18(num_classes=4))
     trainer2 = Trainer(network=model2, optimizer=optimizers.Adam(1e-3))
     trainer2.load_weights(path)
     pred_after = np.asarray(trainer2.predict(x[:4]))
@@ -75,9 +78,12 @@ def test_data_parallel_8dev(rng):
     model = ImageClassification(resnet18(num_classes=4))
     trainer = Trainer(network=model, optimizer=optimizers.Adam(1e-3),
                       metrics=Accuracy(), mesh=mesh)
-    trainer.train(n_epoch=3, train_dataset=loader, print_freq=10)
+    # 8 epochs: multi-device CPU training is NONdeterministic run-to-run
+    # (collective accumulation order), so train far past the bar — at 3
+    # epochs the same seeds land anywhere in 0.31..0.78
+    trainer.train(n_epoch=8, train_dataset=loader, print_freq=10)
     res = trainer.evaluate(loader)
-    assert res["metric"] > 0.6, res
+    assert res["metric"] > 0.8, res
 
 
 def test_circles_dataset_shapes():

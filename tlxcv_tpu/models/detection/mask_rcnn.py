@@ -123,8 +123,10 @@ class MaskRCNN(Module):
     def __init__(self, num_classes=80, num_proposals=256, pre_nms_top_k=512,
                  rpn_nms_thresh=0.7, box_score_thresh=0.05,
                  box_nms_thresh=0.5, detections_per_image=100,
-                 mask_resolution=14, backbone=None, rpn_matrix_nms=False):
+                 mask_resolution=14, backbone=None, rpn_matrix_nms=False,
+                 box_matrix_nms=False):
         self.rpn_matrix_nms = rpn_matrix_nms
+        self.box_matrix_nms = box_matrix_nms
         from ..classification.resnet import ResNet
 
         self.backbone = backbone if backbone is not None else \
@@ -214,14 +216,22 @@ class MaskRCNN(Module):
         probs = jax.nn.softmax(cls_logits, -1)[..., :-1]  # drop background
         boxes = jax.vmap(lambda d, p: delta2bbox(d, p))(box_deltas, props)
         boxes = clip_boxes(boxes, image_hw)
-        from ...ops.nms import multiclass_nms
+        from ...ops.nms import matrix_nms, multiclass_nms
 
-        dets, counts = multiclass_nms(
-            boxes, jnp.where(pmask[..., None], probs, 0.0),
-            score_threshold=self.box_score_thresh,
-            nms_threshold=self.box_nms_thresh,
-            nms_top_k=self.num_proposals,
-            keep_top_k=self.detections_per_image)
+        if self.box_matrix_nms:
+            # parallel decay instead of the keep_top_k-step greedy scan
+            dets, counts = matrix_nms(
+                boxes, jnp.where(pmask[..., None], probs, 0.0),
+                score_threshold=self.box_score_thresh,
+                keep_top_k=self.detections_per_image,
+                pre_top_k=self.num_proposals)
+        else:
+            dets, counts = multiclass_nms(
+                boxes, jnp.where(pmask[..., None], probs, 0.0),
+                score_threshold=self.box_score_thresh,
+                nms_threshold=self.box_nms_thresh,
+                nms_top_k=self.num_proposals,
+                keep_top_k=self.detections_per_image)
         det_boxes = dets[..., 2:6]
         mask_feats = _multilevel_roi_align(feats, det_boxes,
                                            self.mask_resolution)
