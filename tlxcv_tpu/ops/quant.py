@@ -56,13 +56,16 @@ def quantize_weights(model, include: tp.Optional[tp.Callable] = None):
     return count
 
 
-def calibrate_activations(model, batches, percentile: float = 100.0):
+def calibrate_activations(model, batches, percentile: float = 100.0,
+                          forward=None):
     """Eager calibration pass: run ``model(x)`` on host batches, record
     each quantized layer's input abs-max, and attach ``a_scale`` params
     so subsequent calls take the full-int8 path.
 
     Call AFTER :func:`quantize_weights`.  ``batches`` is an iterable of
-    input arrays.  Keep them small — this runs op-by-op (eager)."""
+    input arrays.  Keep them small — this runs op-by-op (eager).
+    ``forward`` overrides the calibration callable (e.g. a detector's
+    ``head_outputs`` to skip the eager NMS postprocess)."""
     layers = [mod for _, mod in model.modules()
               if isinstance(mod, (nn.Conv2d, nn.Linear))
               and mod.weight.value.dtype == jnp.int8]
@@ -99,8 +102,9 @@ def calibrate_activations(model, batches, percentile: float = 100.0):
     nn.Conv2d.__call__ = rec_conv
     nn.Linear.__call__ = rec_lin
     try:
+        call = forward if forward is not None else model
         for x in batches:
-            model(jnp.asarray(x))
+            call(jnp.asarray(x))
     finally:
         nn.Conv2d.__call__ = orig_conv
         nn.Linear.__call__ = orig_lin
