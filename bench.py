@@ -82,9 +82,61 @@ def bench_yolov3():
     return _throughput(infer, (_bf16(params), state, x), batch, n_iters=10)
 
 
+def bench_resnet50_int8():
+    """Post-training full-int8 serving path (ops/quant.py)."""
+    from tlxcv_tpu.core import pure, split
+    from tlxcv_tpu.models import resnet50
+    from tlxcv_tpu.ops.quant import calibrate_activations, quantize_weights
+
+    model = resnet50(num_classes=1000)
+    quantize_weights(model)
+    calib = np.random.default_rng(1).normal(size=(4, 224, 224, 3))
+    calibrate_activations(model, [calib.astype(np.float32)])
+    params, state = split(model)
+    fwd = pure(model)
+
+    @jax.jit
+    def infer(params, state, x):
+        out, _ = fwd(params, state, x)
+        return out.sum()
+
+    batch = 512
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 224, 224, 3)),
+        jnp.bfloat16)
+    return _throughput(infer, (params, state, x), batch)
+
+
+def bench_yolov3_int8():
+    from tlxcv_tpu.core import pure, split
+    from tlxcv_tpu.models.detection import YOLOv3
+    from tlxcv_tpu.ops.quant import calibrate_activations, quantize_weights
+
+    model = YOLOv3(num_classes=80, use_matrix_nms=True)
+    quantize_weights(model)
+    calib = np.random.default_rng(1).normal(size=(2, 416, 416, 3))
+    calibrate_activations(model, [calib.astype(np.float32)],
+                          forward=lambda v: model.head_outputs(v))
+    params, state = split(model)
+    fwd = pure(model)
+
+    @jax.jit
+    def infer(params, state, x):
+        (dets, counts), _ = fwd(params, state, x, training=False)
+        return dets.sum() + counts.sum()
+
+    batch = 64
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 416, 416, 3)),
+        jnp.bfloat16)
+    return _throughput(infer, (params, state, x), batch, n_iters=10)
+
+
 def main():
     resnet_ips = bench_resnet50()
     yolo_ips = bench_yolov3()
+    resnet_int8 = bench_resnet50_int8()
+    yolo_int8 = bench_yolov3_int8()
     print(json.dumps({
         "metric": "resnet50_infer_images_per_sec_per_chip",
         "value": round(resnet_ips, 2),
@@ -94,6 +146,10 @@ def main():
         "yolov3_value": round(yolo_ips, 2),
         "yolov3_unit": "img/s",
         "yolov3_vs_baseline": round(yolo_ips / YOLO_TARGET, 4),
+        "resnet50_int8_value": round(resnet_int8, 2),
+        "resnet50_int8_vs_baseline": round(resnet_int8 / RESNET_TARGET, 4),
+        "yolov3_int8_value": round(yolo_int8, 2),
+        "yolov3_int8_vs_baseline": round(yolo_int8 / YOLO_TARGET, 4),
     }))
 
 
