@@ -205,3 +205,73 @@ def test_pdparams_loader_roundtrip(tmp_path):
     out = load_pdparams(str(path))
     assert set(out) == set(sd)
     np.testing.assert_allclose(out["conv.weight"], sd["conv.weight"])
+
+
+def test_convert_paddle_layout_pdparams(tmp_path, rng):
+    """Paddle-sourced conversion end-to-end: a .pdparams file with
+    paddle naming (_mean/_variance) and paddle layouts (linear (in,out),
+    conv OIHW) loads into our model and reproduces the forward output.
+    (The torch path is covered by the parity battery; this pins the
+    PADDLE path of load_pdparams + convert_by_order.)"""
+    import pickle
+
+    import jax.numpy as jnp
+
+    import tlxcv_tpu.nn as nn
+    from tlxcv_tpu.core import pure, split
+    from tlxcv_tpu.utils.convert import convert_by_order, load_pdparams
+
+    class Net(nn.Module):
+        def __init__(self):
+            self.conv = nn.Conv2d(3, 6, 3, padding=1)
+            self.bn = nn.BatchNorm(6)
+            self.fc = nn.Linear(6, 6)  # square on purpose
+            self.head = nn.Linear(6, 4)
+
+        def __call__(self, x):
+            x = nn.relu(self.bn(self.conv(x)))
+            x = x.mean(axis=(1, 2))
+            return self.head(self.fc(x))
+
+    # paddle-layout source arrays
+    w_conv = rng.normal(size=(6, 3, 3, 3)).astype(np.float32)   # OIHW
+    b_conv = rng.normal(size=(6,)).astype(np.float32)
+    bn_w = rng.normal(size=(6,)).astype(np.float32) * 0.1 + 1
+    bn_b = rng.normal(size=(6,)).astype(np.float32) * 0.1
+    bn_m = rng.normal(size=(6,)).astype(np.float32) * 0.1
+    bn_v = rng.uniform(0.5, 1.5, size=(6,)).astype(np.float32)
+    w_fc = rng.normal(size=(6, 6)).astype(np.float32)           # (in, out)
+    b_fc = rng.normal(size=(6,)).astype(np.float32)
+    w_head = rng.normal(size=(6, 4)).astype(np.float32)
+    b_head = rng.normal(size=(4,)).astype(np.float32)
+
+    sd = {"conv.weight": w_conv, "conv.bias": b_conv,
+          "bn.weight": bn_w, "bn.bias": bn_b,
+          "bn._mean": bn_m, "bn._variance": bn_v,
+          "fc.weight": w_fc, "fc.bias": b_fc,
+          "head.weight": w_head, "head.bias": b_head}
+    path = tmp_path / "model.pdparams"
+    with open(path, "wb") as f:
+        pickle.dump(sd, f, protocol=2)
+
+    model = Net()
+    unmatched = convert_by_order(load_pdparams(str(path)), model,
+                                 source="paddle")
+    assert not unmatched
+
+    # independent numpy forward with the paddle arrays
+    x = rng.normal(size=(2, 5, 5, 3)).astype(np.float32)
+    out, _ = pure(model)(*split(model), jnp.asarray(x))
+
+    import torch
+    import torch.nn.functional as TF
+
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    y = TF.conv2d(xt, torch.tensor(w_conv), torch.tensor(b_conv), padding=1)
+    y = TF.batch_norm(y, torch.tensor(bn_m), torch.tensor(bn_v),
+                      torch.tensor(bn_w), torch.tensor(bn_b), eps=1e-5)
+    y = torch.relu(y).mean(dim=(2, 3))
+    y = y @ torch.tensor(w_fc) + torch.tensor(b_fc)   # paddle (in, out)
+    y = y @ torch.tensor(w_head) + torch.tensor(b_head)
+    np.testing.assert_allclose(np.asarray(out), y.numpy(), atol=1e-4,
+                               rtol=1e-4)

@@ -21,7 +21,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["pipeline_apply", "stack_stage_params"]
@@ -53,7 +56,7 @@ def pipeline_apply(stage_fn, stacked_params, x, mesh: Mesh,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis), P()), out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     def run(params, mbs):
         # this stage's parameter slice (leading axis length 1 here)
         params = jax.tree_util.tree_map(lambda a: a[0], params)
