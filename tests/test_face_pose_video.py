@@ -115,3 +115,41 @@ def test_i3d_shapes(rng):
     assert out.shape[0] == 1 and out.shape[-1] == 7
     target = jnp.zeros(out.shape)
     assert np.isfinite(float(model.loss_fn(out, target)))
+
+
+def test_i3d_learns_multilabel(rng):
+    """Video learn loop: micro-I3D overfits per-frame multi-label targets
+    (BCE falls by >5x)."""
+    import optax
+
+    from tlxcv_tpu.core import Rngs
+    from tlxcv_tpu.models.video_classification import InceptionI3d
+    from tlxcv_tpu.tasks import VideoClassification
+
+    model = VideoClassification(InceptionI3d(num_classes=5))
+    params, state = split(model)
+    x = jnp.asarray(rng.normal(size=(2, 8, 64, 64, 3)), jnp.float32)
+    out0, _ = pure(model)(params, state, x)
+    t = out0.shape[1]
+    y = jnp.asarray(rng.integers(0, 2, size=(2, t, 5)), jnp.float32)
+
+    lp = pure(model, lambda m, v, tt: m.loss_fn(m(v), tt))
+    tx = optax.adam(2e-3)
+    ost = tx.init(params)
+
+    @jax.jit
+    def step(p, s, o):
+        def lf(pp):
+            loss, ns = lp(pp, s, x, y, training=True,
+                          rngs=Rngs(jax.random.key(0)))
+            return loss, ns
+
+        (l, s2), g = jax.value_and_grad(lf, has_aux=True)(p)
+        u, o = tx.update(g, o)
+        return optax.apply_updates(p, u), s2, o, l
+
+    losses = []
+    for _ in range(60):
+        params, state, ost, loss = step(params, state, ost)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] / 5, (losses[0], losses[-1])

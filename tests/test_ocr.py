@@ -129,3 +129,56 @@ def test_trocr_beam_search(rng):
         v, num_beams=len(cands), length_penalty=0.0))(params, state, img0)
     got = seq_logprob_batch(np.asarray(beam), img0)[0]
     assert got == pytest.approx(float(scores.max()), abs=1e-4)
+
+
+def test_trocr_overfit_to_cer(tiny_trocr, rng):
+    """OCR learn-to-metric loop: overfit two (image, text) pairs with
+    teacher forcing; greedy generate decodes back to the exact strings
+    (CER = 0 through the CharTokenizer)."""
+    import optax
+
+    from tlxcv_tpu.core import Rngs
+
+    m = tiny_trocr
+    tok = CharTokenizer("abcdefgh ")
+    texts = ["abc ha", "hedge"]
+    ids = np.full((2, 8), m.pad_token_id, np.int32)
+    for i, t in enumerate(texts):
+        enc = tok.encode(t)[: 7]
+        ids[i, :len(enc)] = enc
+        ids[i, len(enc)] = m.eos_token_id
+
+    params, state = split(m)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(ids)
+
+    lp = pure(m, lambda mm, v, t: mm.loss_fn(v, t))
+    tx = optax.adam(2e-3)
+    ost = tx.init(params)
+
+    @jax.jit
+    def step(p, s, o):
+        def lf(pp):
+            loss, ns = lp(pp, s, x, labels, training=True,
+                          rngs=Rngs(jax.random.key(0)))
+            return loss, ns
+
+        (l, s2), g = jax.value_and_grad(lf, has_aux=True)(p)
+        u, o = tx.update(g, o)
+        return optax.apply_updates(p, u), s2, o, l
+
+    for _ in range(200):
+        params, state, ost, loss = step(params, state, ost)
+
+    tokens, _ = pure(m, lambda mm, v: mm.generate(v))(params, state, x)
+    tokens = np.asarray(tokens)
+    preds = []
+    for row in tokens:
+        chars = []
+        for t in row:
+            if t == m.eos_token_id or t == m.pad_token_id:
+                break
+            chars.append(int(t))
+        preds.append(tok.decode(chars))
+    cer = character_error_rate(preds, texts)
+    assert cer == pytest.approx(0.0, abs=1e-9), (preds, texts, cer)
