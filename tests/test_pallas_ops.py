@@ -45,3 +45,65 @@ def test_interpolate_2x_fast_path_matches_reference(rng):
     fast = interpolate(x, scale_factor=2, mode="bilinear")
     ref = interpolate(x, scale_factor=2, mode="bilinear", fast_path=False)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_upsample_add_interpret_and_grad(rng):
+    """upsample_add_fused (resize + consumer add in one VMEM pass):
+    forward matches the gather reference for bilinear AND nearest, 2x
+    and 4x; the custom VJP matches autodiff of the reference
+    composition.  (Kernel compiles on the real v5e but loses to XLA's
+    composition in-graph — see BENCHMARKS.md — so it is opt-in.)"""
+    from tlxcv_tpu.ops.pallas.upsample import upsample_add_fused
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)), jnp.float32)
+    for oh in (16, 32):
+        skip = jnp.asarray(rng.normal(size=(2, oh, oh, 128)), jnp.float32)
+        for mode in ("bilinear", "nearest"):
+            if mode == "nearest":
+                ref = interpolate(x, size=(oh, oh), mode="nearest") + skip
+            else:
+                ref = interpolate(x, size=(oh, oh), mode="bilinear",
+                                  fast_path=False) + skip
+            out = upsample_add_fused(x, skip, mode=mode, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-5)
+
+    skip = jnp.asarray(rng.normal(size=(2, 16, 16, 128)), jnp.float32)
+    g1 = jax.grad(lambda v, s: (upsample_add_fused(
+        v, s, interpret=True) ** 2).sum(), argnums=(0, 1))(x, skip)
+    g2 = jax.grad(lambda v, s: ((upsample2x_matmul(v) + s) ** 2).sum(),
+                  argnums=(0, 1))(x, skip)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_general_upsample_matmul(rng):
+    """upsample_matmul: arbitrary-size separable resize as two static
+    matmuls (the HRNet FuseLayers 4x/8x shape class)."""
+    from tlxcv_tpu.ops.pallas.upsample import upsample_matmul
+
+    x = jnp.asarray(rng.normal(size=(2, 9, 7, 16)), jnp.float32)
+    for oh, ow in ((36, 28), (18, 14), (27, 21)):
+        ref = interpolate(x, size=(oh, ow), mode="bilinear",
+                          fast_path=False)
+        out = upsample_matmul(x, oh, ow)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+
+def test_upsample_add_routing(rng):
+    """ops.image.upsample_add (public FPN/fuse pattern): both routes
+    (XLA default, Pallas opt-in) agree with the reference composition."""
+    from tlxcv_tpu.ops.image import upsample_add
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)), jnp.float32)
+    skip = jnp.asarray(rng.normal(size=(2, 16, 16, 128)), jnp.float32)
+    for mode in ("bilinear", "nearest"):
+        if mode == "nearest":
+            ref = interpolate(x, size=(16, 16), mode="nearest") + skip
+        else:
+            ref = interpolate(x, size=(16, 16), mode="bilinear",
+                              fast_path=False) + skip
+        np.testing.assert_allclose(
+            np.asarray(upsample_add(x, skip, mode=mode)), np.asarray(ref),
+            atol=1e-5)

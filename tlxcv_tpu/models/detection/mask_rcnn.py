@@ -37,12 +37,12 @@ class FPN(Module):
         self.out_ch = out_ch
 
     def __call__(self, feats):
+        from ...ops.image import upsample_add
+
         lats = [l(f) for l, f in zip(self.lateral, feats)]
         outs = [lats[-1]]
         for i in range(len(lats) - 2, -1, -1):
-            n, h, w, c = lats[i].shape
-            up = jax.image.resize(outs[0], (n, h, w, c), "nearest")
-            outs.insert(0, lats[i] + up)
+            outs.insert(0, upsample_add(outs[0], lats[i], mode="nearest"))
         ps = [conv(o) for conv, o in zip(self.output, outs)]
         p6 = nn.MaxPool2d(1, 2)(ps[-1])
         return ps + [p6]  # P2, P3, P4, P5, P6

@@ -38,13 +38,11 @@ class FPN(nn.Module):
         self.merge2 = ConvUnit(out_ch, out_ch, 3, 1, act)
 
     def __call__(self, feats):
+        from ...ops.image import upsample_add
+
         out1, out2, out3 = [conv(f) for conv, f in zip(self.outputs, feats)]
-        n, h, w, c = out2.shape
-        out2 = out2 + jax.image.resize(out3, (n, h, w, c), "nearest")
-        out2 = self.merge2(out2)
-        n, h, w, c = out1.shape
-        out1 = out1 + jax.image.resize(out2, (n, h, w, c), "nearest")
-        out1 = self.merge1(out1)
+        out2 = self.merge2(upsample_add(out3, out2, mode="nearest"))
+        out1 = self.merge1(upsample_add(out2, out1, mode="nearest"))
         return out1, out2, out3
 
 

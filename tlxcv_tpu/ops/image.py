@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["interpolate", "resize", "max_pool2d_with_argmax", "max_unpool2d",
-           "unfold", "pad2d"]
+__all__ = ["interpolate", "resize", "upsample_add", "max_pool2d_with_argmax",
+           "max_unpool2d", "unfold", "pad2d"]
 
 
 def _out_size(in_hw, size, scale_factor):
@@ -110,6 +110,38 @@ def interpolate(x, size=None, scale_factor=None, mode="bilinear",
 
 
 resize = interpolate
+
+
+def upsample_add(x, skip, mode="bilinear", align_corners=False,
+                 fast_path=True, use_pallas=False):
+    """``interpolate(x, size=skip.shape[1:3], mode=mode) + skip`` — the
+    FPN top-down / HRNet-fuse / seg-decoder hot pattern.
+
+    Default is the XLA composition: measured chained-in-jit on v5e
+    (BENCHMARKS.md round 2), XLA's fused resize+add BEATS the one-pass
+    Pallas kernel at FPN shapes (105 vs 189 us/op at 20->40 c256 b8),
+    and larger working sets exceed the 16 MB scoped-VMEM limit — the
+    regime where VMEM fusion could win does not exist on this toolchain.
+    ``use_pallas=True`` opts into ops/pallas/upsample.upsample_add_fused
+    where :func:`~tlxcv_tpu.ops.pallas.upsample.upsample_add_fits`."""
+    oh, ow = skip.shape[1:3]
+    if (use_pallas and fast_path and not align_corners and x.ndim == 4
+            and mode in ("bilinear", "nearest")
+            and oh >= x.shape[1] and ow >= x.shape[2]
+            and x.dtype in (jnp.float32, jnp.bfloat16)
+            and x.dtype == skip.dtype):
+        from .pallas.upsample import upsample_add_fits, upsample_add_fused
+
+        if upsample_add_fits(x.shape, (oh, ow), x.dtype.itemsize):
+            return upsample_add_fused(x, skip, mode=mode)
+    if mode == "nearest" and oh == 2 * x.shape[1] and ow == 2 * x.shape[2]:
+        # nearest-2x: XLA lowers this resize to a broadcast-reshape, the
+        # fastest measured composition (fpn 20->40 c256 b8: 105 us/op)
+        return jax.image.resize(x, (*x.shape[:1], oh, ow, x.shape[3]),
+                                "nearest") + skip
+    return interpolate(x, size=(oh, ow), mode=mode,
+                       align_corners=align_corners,
+                       fast_path=fast_path) + skip
 
 
 def max_pool2d_with_argmax(x, kernel_size, stride=None, padding=0):
