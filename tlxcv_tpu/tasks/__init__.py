@@ -1,3 +1,4 @@
+from .distillation import DistilledClassification, teacher_labels
 from .facial_landmark_detection import NME, FacialLandmarkDetection
 from .gan import GAN
 from .human_pose_estimation import (PCK, GenerateTarget, HumanPoseEstimation,
@@ -13,6 +14,7 @@ __all__ = [
     "NME", "FacialLandmarkDetection", "GAN", "PCK", "GenerateTarget",
     "HumanPoseEstimation", "generate_heatmap_target", "get_max_preds",
     "ImageClassification", "ImageSegmentation", "ObjectDetection",
+    "DistilledClassification", "teacher_labels",
     "OpticalCharacterRecognition", "character_error_rate",
     "VideoClassification", "face_recognition",
 ]
