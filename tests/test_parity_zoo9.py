@@ -355,3 +355,35 @@ def test_vit_parity(rng):
                               embed_dim=64, depth=2, num_heads=2,
                               qkv_bias=True)
     roundtrip(TViT(), model, _x(rng, 64), atol=5e-4)
+
+
+def test_alexnet_real_torch_layout(rng):
+    """A REAL torch AlexNet state_dict flattens CHW before its
+    classifier; utils.convert.chw_flatten_to_hwc reorders that one
+    weight so the checkpoint loads onto our NHWC-flatten model with
+    exact parity (the workflow for real torchvision checkpoints)."""
+    from tlxcv_tpu.models.classification import alexnet
+    from tlxcv_tpu.utils.convert import chw_flatten_to_hwc, convert_by_order
+    from tlxcv_tpu.core import pure, split
+    import jax.numpy as jnp
+
+    class TorchLayoutAlexNet(TAlexNet):
+        def forward(self, x):  # standard torchvision CHW flatten
+            x = F.adaptive_avg_pool2d(self.features(x), (6, 6))
+            return self.classifier(torch.flatten(x, 1))
+
+    t = TorchLayoutAlexNet().eval()
+    m = alexnet(num_classes=10)
+    sd = {k: v.detach().numpy() for k, v in t.state_dict().items()}
+    sd["classifier.0.weight"] = chw_flatten_to_hwc(
+        sd["classifier.0.weight"], 256, 6, 6)
+    unmatched = convert_by_order(sd, m, source="torch")
+    assert not unmatched
+
+    x = _x(rng, 224, batch=1)
+    with torch.no_grad():
+        ref = t(torch.tensor(x)).numpy()
+    params, state = split(m)
+    out, _ = pure(m)(params, state,
+                     jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=5e-4)

@@ -22,7 +22,34 @@ import typing as tp
 import numpy as np
 
 __all__ = ["load_torch_weights", "load_pdparams", "convert_array",
-           "convert_by_order", "parity_report"]
+           "convert_by_order", "parity_report", "chw_flatten_to_hwc"]
+
+
+def chw_flatten_to_hwc(src_weight: np.ndarray, c: int, h: int,
+                       w: int) -> np.ndarray:
+    """Reorder a source Linear kernel that consumed a **CHW-flattened**
+    tensor (torch/paddle ``x.flatten(1)`` after NCHW pooling — AlexNet/
+    VGG classifier fc1) onto this framework's **HWC flatten** (NHWC
+    ``reshape(b, -1)``).
+
+    A plain transpose maps (out, in) -> (in, out) but leaves the input
+    features in C-major order; the converted layer would silently
+    permute its inputs.  This helper fixes the one layer that sits on a
+    flatten boundary::
+
+        sd = load_torch_weights("alexnet.pth")
+        sd["classifier.1.weight"] = chw_flatten_to_hwc(
+            sd["classifier.1.weight"], 256, 6, 6)
+        convert_by_order(sd, model, source="torch")
+
+    src_weight: (out, c*h*w) torch layout.  Returns (out, h*w*c) — still
+    torch layout, so convert_by_order applies its usual transpose.
+    """
+    src_weight = np.asarray(src_weight)
+    out_dim = src_weight.shape[0]
+    assert src_weight.shape[1] == c * h * w, (src_weight.shape, c, h, w)
+    wgt = src_weight.reshape(out_dim, c, h, w).transpose(0, 2, 3, 1)
+    return wgt.reshape(out_dim, h * w * c)
 
 
 def load_torch_weights(path):
