@@ -63,3 +63,60 @@ def test_int8_linear_matches_float(rng):
     out = lin(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05,
                                rtol=0.05)
+
+
+def test_int8_ssd_serving(rng):
+    """Full-int8 SSD: head outputs stay tight vs float and the jitted
+    predict path (decode + NMS) returns the same detections."""
+    from tlxcv_tpu.models.detection import SSD
+
+    x = jnp.asarray(rng.normal(size=(2, 128, 128, 3)), jnp.float32)
+    m = SSD(num_classes=4, image_size=(128, 128))
+    p, s = split(m)
+    ref_dets, _ = jax.jit(lambda pp, ss, v: pure(m)(pp, ss, v,
+                                                    training=False))(p, s, x)
+
+    n = quantize_weights(m)
+    assert n > 20
+    calibrate_activations(
+        m, [np.asarray(x[:1])],
+        forward=lambda v: m.ssd_head(m.backbone(v)))
+    p8, s8 = split(m)
+    assert any(k.endswith("a_scale") for k in p8)
+    out_dets, _ = jax.jit(lambda pp, ss, v: pure(m)(pp, ss, v,
+                                                    training=False))(p8, s8, x)
+
+    ref_rows, ref_counts = ref_dets
+    q_rows, q_counts = out_dets
+    assert (np.asarray(ref_counts) == np.asarray(q_counts)).all()
+    # same kept slots -> same labels, near-identical geometry
+    valid = (np.arange(ref_rows.shape[1])[None, :]
+             < np.asarray(ref_counts)[:, None])
+    if valid.any():
+        assert (np.asarray(ref_rows)[valid][:, 0]
+                == np.asarray(q_rows)[valid][:, 0]).all()
+        db = np.abs(np.asarray(ref_rows) - np.asarray(q_rows))[valid][:, 2:]
+        assert db.max() < 4.0  # pixels at 128^2
+
+
+def test_int8_ppyoloe_serving(rng):
+    from tlxcv_tpu.models.detection import ppyoloe
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    m = ppyoloe("ppyoloe_s", num_classes=4)
+    p, s = split(m)
+    ref, _ = jax.jit(lambda pp, ss, v: pure(m)(pp, ss, v,
+                                               training=False))(p, s, x)
+
+    n = quantize_weights(m)
+    assert n > 40
+    calibrate_activations(
+        m, [np.asarray(x[:1])],
+        forward=lambda v: m.yolo_head(m.neck(m.backbone(v))))
+    p8, s8 = split(m)
+    out, _ = jax.jit(lambda pp, ss, v: pure(m)(pp, ss, v,
+                                               training=False))(p8, s8, x)
+    ref_counts = np.asarray(jax.tree_util.tree_leaves(ref)[-1])
+    q_counts = np.asarray(jax.tree_util.tree_leaves(out)[-1])
+    # random-input detections: counts must agree (no systematic drift)
+    assert np.abs(ref_counts.astype(int) - q_counts.astype(int)).max() <= 1
