@@ -94,7 +94,8 @@ def load_pdparams(path):
 
 def convert_array(src: np.ndarray, dst_shape: tuple,
                   source: str = "torch",
-                  linear_weight: bool = False) -> tp.Optional[np.ndarray]:
+                  linear_weight: bool = False,
+                  convtranspose_weight: bool = False) -> tp.Optional[np.ndarray]:
     """Map a source array onto dst_shape, applying layout transposes.
 
     ``linear_weight=True`` marks the destination as an nn.Linear kernel:
@@ -102,12 +103,22 @@ def convert_array(src: np.ndarray, dst_shape: tuple,
     matrix is square (shape equality alone cannot tell — a square torch
     linear converted untransposed is silently wrong).
 
+    ``convtranspose_weight=True`` marks an nn.ConvTranspose2d kernel:
+    torch/paddle store those (in, out, kh, kw), so the IOHW->HWIO
+    transpose (2, 3, 0, 1) MUST be used even when in == out — the
+    regular-conv OIHW transpose passes the shape check on square
+    transposed convs but swaps the in/out axes silently.
+
     Returns None if no valid mapping exists.
     """
     src = np.asarray(src)
     if (linear_weight and source == "torch" and src.ndim == 2
             and src.T.shape == tuple(dst_shape)):
         return src.T
+    if convtranspose_weight and src.ndim == 4 and len(dst_shape) == 4:
+        cand = np.transpose(src, (2, 3, 0, 1))  # IOHW -> HWIO
+        if cand.shape == tuple(dst_shape):
+            return cand
     if tuple(src.shape) == tuple(dst_shape):
         return src
     if src.ndim == 4 and len(dst_shape) == 4:
@@ -161,21 +172,27 @@ def _kinds_compatible(src_kind, dst_kind) -> bool:
     return src_kind == dst_kind
 
 
-def _linear_weight_paths(module) -> set:
-    """Paths of nn.Linear kernel params — these need the (out, in) ->
-    (in, out) transpose from torch even when square."""
+def _kernel_kind_paths(module) -> tuple:
+    """(linear_paths, convtranspose_paths): kernel params whose source
+    layout cannot be inferred from shape alone — torch Linear (out, in)
+    and torch/paddle ConvTranspose2d (in, out, kh, kw) both need forced
+    transposes even when square."""
     from .. import nn
     from ..core.module import Module
 
-    paths = set()
+    lin, ct = set(), set()
 
     def walk(obj, prefix):
         if isinstance(obj, Module):
             is_linear = isinstance(obj, nn.Linear)
+            is_ct = isinstance(obj, nn.ConvTranspose2d)
             for name, child in vars(obj).items():
                 p = f"{prefix}/{name}" if prefix else name
-                if is_linear and name == "weight":
-                    paths.add(p)
+                if name == "weight":
+                    if is_linear:
+                        lin.add(p)
+                    elif is_ct:
+                        ct.add(p)
                 walk(child, p)
         elif isinstance(obj, (list, tuple)):
             for i, c in enumerate(obj):
@@ -185,7 +202,11 @@ def _linear_weight_paths(module) -> set:
                 walk(c, f"{prefix}/{k}" if prefix else str(k))
 
     walk(module, "")
-    return paths
+    return lin, ct
+
+
+def _linear_weight_paths(module) -> set:
+    return _kernel_kind_paths(module)[0]
 
 
 def _normalize_name(name: str) -> str:
@@ -231,7 +252,7 @@ def convert_by_order(src_state: tp.Mapping[str, np.ndarray], module,
     src_items = [(k, np.asarray(v)) for k, v in src_state.items()
                  if not any(t in k for t in _SKIP_TOKENS)]
     dst_all = list(iter_variables(module))
-    lw_paths = _linear_weight_paths(module)
+    lw_paths, ct_paths = _kernel_kind_paths(module)
     unmatched = []
     matches = []
 
@@ -248,7 +269,8 @@ def convert_by_order(src_state: tp.Mapping[str, np.ndarray], module,
                 continue
             arr = convert_array(src_items[j][1],
                                 tuple(np.asarray(var.value).shape), source,
-                                linear_weight=path in lw_paths)
+                                linear_weight=path in lw_paths,
+                                convtranspose_weight=path in ct_paths)
             if arr is not None:
                 var.value = jnp.asarray(arr, np.asarray(var.value).dtype)
                 used_src.add(j)
@@ -270,7 +292,8 @@ def convert_by_order(src_state: tp.Mapping[str, np.ndarray], module,
             if not _kinds_compatible(_param_kind(src_items[j][0]), dst_kind):
                 continue
             cand = convert_array(src_items[j][1], shape, source,
-                                 linear_weight=path in lw_paths)
+                                 linear_weight=path in lw_paths,
+                                 convtranspose_weight=path in ct_paths)
             if cand is not None:
                 found = (j, cand)
                 break
