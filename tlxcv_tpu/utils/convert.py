@@ -180,11 +180,19 @@ def _kernel_kind_paths(module) -> tuple:
     from .. import nn
     from ..core.module import Module
 
+    linear_types = [nn.Linear]
+    try:  # equalized-lr linear (StyleGAN bricks) stores torch (out, in) too
+        from ..models.gan.layers import EqualLinear
+        linear_types.append(EqualLinear)
+    except Exception:  # pragma: no cover
+        pass
+    linear_types = tuple(linear_types)
+
     lin, ct = set(), set()
 
     def walk(obj, prefix):
         if isinstance(obj, Module):
-            is_linear = isinstance(obj, nn.Linear)
+            is_linear = isinstance(obj, linear_types)
             is_ct = isinstance(obj, nn.ConvTranspose2d)
             for name, child in vars(obj).items():
                 p = f"{prefix}/{name}" if prefix else name
