@@ -122,5 +122,6 @@ def test_extra_gan_generators(rng):
 
     ug = UGATITGenerator(ngf=8, n_blocks=2, img_size=32)
     p, s = split(ug)
-    (img, cam), _ = pure(ug)(p, s, jnp.zeros((1, 32, 32, 3)))
+    (img, cam, heat), _ = pure(ug)(p, s, jnp.zeros((1, 32, 32, 3)))
     assert img.shape == (1, 32, 32, 3) and cam.shape == (1, 2)
+    assert heat.shape == (1, 8, 8, 1)

@@ -42,7 +42,7 @@ class UGATITNets(Module):
         self.disLB = UGATITDiscriminator(**dl)
 
     def __call__(self, real_a):
-        fake, _ = self.genA2B(real_a)
+        fake, _, _ = self.genA2B(real_a)
         return fake
 
 
@@ -64,8 +64,8 @@ class UGATITTrainer:
         self._key = jax.random.key(seed)
 
         def d_losses(m, real_a, real_b):
-            fake_a2b, _ = m.genA2B(real_a)
-            fake_b2a, _ = m.genB2A(real_b)
+            fake_a2b, _, _ = m.genA2B(real_a)
+            fake_b2a, _, _ = m.genB2A(real_b)
             fake_a2b = jax.lax.stop_gradient(fake_a2b)
             fake_b2a = jax.lax.stop_gradient(fake_b2a)
             loss = 0.0
@@ -73,24 +73,24 @@ class UGATITTrainer:
                                      (m.disLA, real_a, fake_b2a),
                                      (m.disGB, real_b, fake_a2b),
                                      (m.disLB, real_b, fake_a2b)):
-                r_logit, r_cam = disc(real)
-                f_logit, f_cam = disc(fake)
+                r_logit, r_cam, _ = disc(real)
+                f_logit, f_cam, _ = disc(fake)
                 loss += _mse(r_logit, 1.0) + _mse(f_logit, 0.0)
                 loss += _mse(r_cam, 1.0) + _mse(f_cam, 0.0)
             return adv_weight * loss
 
         def g_losses(m, real_a, real_b):
-            fake_a2b, cam_ab = m.genA2B(real_a)
-            fake_b2a, cam_ba = m.genB2A(real_b)
-            rec_a, _ = m.genB2A(fake_a2b)
-            rec_b, _ = m.genA2B(fake_b2a)
-            idt_a, cam_aa = m.genB2A(real_a)   # identity: B2A on A
-            idt_b, cam_bb = m.genA2B(real_b)
+            fake_a2b, cam_ab, _ = m.genA2B(real_a)
+            fake_b2a, cam_ba, _ = m.genB2A(real_b)
+            rec_a, _, _ = m.genB2A(fake_a2b)
+            rec_b, _, _ = m.genA2B(fake_b2a)
+            idt_a, cam_aa, _ = m.genB2A(real_a)   # identity: B2A on A
+            idt_b, cam_bb, _ = m.genA2B(real_b)
 
             adv = 0.0
             for disc, fake in ((m.disGB, fake_a2b), (m.disLB, fake_a2b),
                                (m.disGA, fake_b2a), (m.disLA, fake_b2a)):
-                f_logit, f_cam = disc(fake)
+                f_logit, f_cam, _ = disc(fake)
                 adv += _mse(f_logit, 1.0) + _mse(f_cam, 1.0)
             cyc = (jnp.abs(rec_a - real_a).mean()
                    + jnp.abs(rec_b - real_b).mean())
