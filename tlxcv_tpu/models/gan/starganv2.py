@@ -1,12 +1,18 @@
 """StarGAN v2 (reference tlxcv/models/gan/models/
-{generator_starganv2.py:279, discriminator_starganv2.py,
-starganv2_model.py}), NHWC: AdaIN generator, mapping network, style
-encoder, multi-domain discriminator."""
+{generators/generator_starganv2.py, discriminators/
+discriminator_starganv2.py, starganv2_model.py}), NHWC — faithful
+topology: AdaIN generator with the w_hpf high-pass masked-skip path,
+normalize-flagged ResBlks (generator encoder normalizes, style encoder /
+discriminator do NOT, reference ResBlk default), 4+4-layer mapping
+network, single-linear style heads.
+"""
 from __future__ import annotations
 
 import math
 
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 from ... import nn
 from ...core.module import Module
@@ -14,7 +20,7 @@ from ...ops.image import interpolate
 from .registry import DISCRIMINATORS, GENERATORS
 
 __all__ = ["StarGANv2Generator", "MappingNetwork", "StyleEncoder",
-           "StarGANv2Discriminator"]
+           "StarGANv2Discriminator", "HighPass"]
 
 
 class AdaIN(Module):
@@ -29,8 +35,12 @@ class AdaIN(Module):
 
 
 class AdainResBlock(Module):
-    def __init__(self, cin, cout, style_dim, upsample=False):
+    """(reference AdainResBlk :82-132 — with w_hpf > 0 the block is
+    NON-residual, matching the reference's `if self.w_hpf == 0` gate)."""
+
+    def __init__(self, cin, cout, style_dim, w_hpf=0, upsample=False):
         self.upsample = upsample
+        self.w_hpf = w_hpf
         self.norm1 = AdaIN(style_dim, cin)
         self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
         self.norm2 = AdaIN(style_dim, cout)
@@ -46,6 +56,8 @@ class AdainResBlock(Module):
         y = self.conv1(up(y))
         y = nn.leaky_relu(self.norm2(y, s), 0.2)
         y = self.conv2(y)
+        if self.w_hpf != 0:
+            return y
         sk = up(x)
         if self.skip is not None:
             sk = self.skip(sk)
@@ -53,11 +65,14 @@ class AdainResBlock(Module):
 
 
 class ResBlock(Module):
-    def __init__(self, cin, cout, downsample=False):
+    """(reference ResBlk :11-60 — ``normalize`` defaults False; only the
+    generator encoder normalizes)."""
+
+    def __init__(self, cin, cout, normalize=False, downsample=False):
         self.downsample = downsample
-        self.norm1 = nn.InstanceNorm(cin)
+        self.norm1 = nn.InstanceNorm(cin) if normalize else None
         self.conv1 = nn.Conv2d(cin, cin, 3, padding=1)
-        self.norm2 = nn.InstanceNorm(cin)
+        self.norm2 = nn.InstanceNorm(cin) if normalize else None
         self.conv2 = nn.Conv2d(cin, cout, 3, padding=1)
         self.skip = nn.Conv2d(cin, cout, 1, bias=False) if cin != cout else None
 
@@ -65,55 +80,100 @@ class ResBlock(Module):
         def down(v):
             return nn.AvgPool2d(2, 2)(v) if self.downsample else v
 
-        y = self.conv1(nn.leaky_relu(self.norm1(x), 0.2))
+        y = x if self.norm1 is None else self.norm1(x)
+        y = self.conv1(nn.leaky_relu(y, 0.2))
         y = down(y)
-        y = self.conv2(nn.leaky_relu(self.norm2(y), 0.2))
+        if self.norm2 is not None:
+            y = self.norm2(y)
+        y = self.conv2(nn.leaky_relu(y, 0.2))
         sk = down(x)
         if self.skip is not None:
             sk = self.skip(sk)
         return (y + sk) / math.sqrt(2)
 
 
+class HighPass(Module):
+    """Fixed 3x3 high-pass filter over cached encoder features
+    (reference HighPass :136-146)."""
+
+    def __init__(self, w_hpf):
+        self.kernel = np.asarray([[-1, -1, -1], [-1, 8.0, -1],
+                                  [-1, -1, -1]], np.float32) / w_hpf
+
+    def __call__(self, x):
+        c = x.shape[-1]
+        k = jnp.asarray(self.kernel, x.dtype)[..., None, None]
+        k = jnp.tile(k, (1, 1, 1, c))
+        return lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+
 @GENERATORS.register
 class StarGANv2Generator(Module):
-    def __init__(self, img_size=64, style_dim=64, max_conv_dim=256, dim_in=32):
-        self.stem = nn.Conv2d(3, dim_in, 3, padding=1)
+    """(reference StarGANv2Generator :148-200).  ``dim_in`` defaults to
+    the reference's 2^14/img_size (clamped); pass a small value for
+    micro configs.  ``masks`` enables the w_hpf face-structure skip."""
+
+    def __init__(self, img_size=64, style_dim=64, max_conv_dim=256,
+                 dim_in=None, w_hpf=1):
+        if dim_in is None:
+            dim_in = min(2 ** 14 // img_size, max_conv_dim)
+        self.img_size = img_size
+        self.w_hpf = w_hpf
+        self.from_rgb = nn.Conv2d(3, dim_in, 3, padding=1)
         repeat = int(math.log2(img_size)) - 4
+        if w_hpf > 0:
+            repeat += 1
+        repeat = max(repeat, 1)
         self.encode = []
         self.decode = []
         d = dim_in
-        for _ in range(max(repeat, 1)):
+        for _ in range(repeat):
             dout = min(d * 2, max_conv_dim)
-            self.encode.append(ResBlock(d, dout, downsample=True))
+            self.encode.append(ResBlock(d, dout, normalize=True,
+                                        downsample=True))
             self.decode.insert(0, AdainResBlock(dout, d, style_dim,
-                                                upsample=True))
+                                                w_hpf=w_hpf, upsample=True))
             d = dout
-        self.bottleneck_e = [ResBlock(d, d) for _ in range(2)]
-        self.bottleneck_d = [AdainResBlock(d, d, style_dim) for _ in range(2)]
-        self.out_norm = nn.InstanceNorm(dim_in)
-        self.out_conv = nn.Conv2d(dim_in, 3, 1)
+        for _ in range(2):
+            self.encode.append(ResBlock(d, d, normalize=True))
+            self.decode.insert(0, AdainResBlock(d, d, style_dim,
+                                                w_hpf=w_hpf))
+        self.to_rgb_norm = nn.InstanceNorm(dim_in)
+        self.to_rgb_conv = nn.Conv2d(dim_in, 3, 1)
+        self.hpf = HighPass(w_hpf) if w_hpf > 0 else None
 
-    def __call__(self, x, s):
-        x = self.stem(x)
+    def __call__(self, x, s, masks=None):
+        x = self.from_rgb(x)
+        cache = {}
         for blk in self.encode:
+            if masks is not None and x.shape[1] in (32, 64, 128):
+                cache[x.shape[1]] = x
             x = blk(x)
-        for blk in self.bottleneck_e:
-            x = blk(x)
-        for blk in self.bottleneck_d:
-            x = blk(x, s)
         for blk in self.decode:
             x = blk(x, s)
-        return self.out_conv(nn.leaky_relu(self.out_norm(x), 0.2))
+            if masks is not None and x.shape[1] in (32, 64, 128):
+                mask = masks[0] if x.shape[1] == 32 else masks[1]
+                mask = interpolate(mask, size=x.shape[1:3], mode="bilinear")
+                x = x + self.hpf(mask * cache[x.shape[1]])
+        return self.to_rgb_conv(nn.leaky_relu(self.to_rgb_norm(x), 0.2))
 
 
 class MappingNetwork(Module):
-    """Latent -> per-domain styles (reference generator_starganv2)."""
+    """Latent -> per-domain styles (reference StarGANv2Mapping :203-237:
+    4 shared 512-wide layers + 4-layer per-domain heads)."""
 
-    def __init__(self, latent_dim=16, style_dim=64, num_domains=2, hidden=256):
-        self.shared = nn.Sequential(
-            nn.Linear(latent_dim, hidden), nn.Activation("relu"),
-            nn.Linear(hidden, hidden), nn.Activation("relu"))
+    def __init__(self, latent_dim=16, style_dim=64, num_domains=2,
+                 hidden=512):
+        layers = [nn.Linear(latent_dim, hidden), nn.Activation("relu")]
+        for _ in range(3):
+            layers += [nn.Linear(hidden, hidden), nn.Activation("relu")]
+        self.shared = nn.Sequential(*layers)
         self.heads = [nn.Sequential(
+            nn.Linear(hidden, hidden), nn.Activation("relu"),
+            nn.Linear(hidden, hidden), nn.Activation("relu"),
             nn.Linear(hidden, hidden), nn.Activation("relu"),
             nn.Linear(hidden, style_dim)) for _ in range(num_domains)]
 
@@ -126,6 +186,9 @@ class MappingNetwork(Module):
 
 
 class StyleEncoder(Module):
+    """(reference StarGANv2Style :240-285 — non-normalized ResBlks,
+    single linear per domain)."""
+
     def __init__(self, img_size=64, style_dim=64, num_domains=2, dim_in=32,
                  max_conv_dim=256):
         blocks = [nn.Conv2d(3, dim_in, 3, padding=1)]

@@ -24,11 +24,14 @@ class StarGANv2Nets(Module):
                                             StarGANv2Discriminator,
                                             StarGANv2Generator, StyleEncoder)
 
+        # micro-friendly dims; pass dim_in=None for the reference's
+        # full 2^14/img_size widths
         self.generator = StarGANv2Generator(img_size=img_size,
-                                            style_dim=style_dim)
+                                            style_dim=style_dim,
+                                            dim_in=32)
         self.mapping = MappingNetwork(latent_dim=latent_dim,
                                       style_dim=style_dim,
-                                      num_domains=num_domains)
+                                      num_domains=num_domains, hidden=256)
         self.style_encoder = StyleEncoder(img_size=img_size,
                                           style_dim=style_dim,
                                           num_domains=num_domains)
