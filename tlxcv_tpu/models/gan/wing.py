@@ -14,7 +14,11 @@ __all__ = ["CoordConvTh", "HourGlass", "FAN"]
 
 
 class AddCoords(Module):
-    """Append normalized coordinate (and optional radius/boundary) maps."""
+    """Append normalized coordinate (and optional radius/boundary) maps
+    (reference wing.py AddCoordsTh :56-94 — channel order is
+    (row, col[, r][, row_boundary, col_boundary]), r is max-normalized,
+    and the boundary appends TWO coordinate maps masked where the
+    boundary heatmap exceeds 0.05)."""
 
     def __init__(self, with_r=False, with_boundary=False):
         self.with_r = with_r
@@ -22,18 +26,27 @@ class AddCoords(Module):
 
     def __call__(self, x, heatmap=None):
         b, h, w, _ = x.shape
-        ys = np.linspace(-1, 1, h, dtype=np.float32)[:, None]
-        xs = np.linspace(-1, 1, w, dtype=np.float32)[None, :]
-        yy = jnp.broadcast_to(jnp.asarray(ys), (h, w))[None, ..., None]
-        xx = jnp.broadcast_to(jnp.asarray(xs), (h, w))[None, ..., None]
-        feats = [x, jnp.broadcast_to(xx, (b, h, w, 1)),
-                 jnp.broadcast_to(yy, (b, h, w, 1))]
+        rows = np.broadcast_to(
+            (np.arange(h, dtype=np.float32) / (h - 1) * 2 - 1)[:, None],
+            (h, w))
+        cols = np.broadcast_to(
+            (np.arange(w, dtype=np.float32) / (w - 1) * 2 - 1)[None, :],
+            (h, w))
+        rr_np = np.sqrt(rows ** 2 + cols ** 2)
+        rr_np = rr_np / rr_np.max()
+        row_m = jnp.broadcast_to(jnp.asarray(rows)[None, ..., None],
+                                 (b, h, w, 1))
+        col_m = jnp.broadcast_to(jnp.asarray(cols)[None, ..., None],
+                                 (b, h, w, 1))
+        feats = [x, row_m, col_m]
         if self.with_r:
-            rr = jnp.sqrt(xx ** 2 + yy ** 2)
-            feats.append(jnp.broadcast_to(rr, (b, h, w, 1)))
+            feats.append(jnp.broadcast_to(
+                jnp.asarray(rr_np)[None, ..., None], (b, h, w, 1)))
         if self.with_boundary and heatmap is not None:
-            boundary = jnp.clip(heatmap, 0.0, 1.0)
-            feats.append(boundary)
+            boundary = jnp.clip(heatmap[..., -1:], 0.0, 1.0)
+            keep = boundary > 0.05
+            feats.append(jnp.where(keep, row_m, 0.0))
+            feats.append(jnp.where(keep, col_m, 0.0))
         return jnp.concatenate(feats, -1)
 
 
@@ -43,7 +56,7 @@ class CoordConvTh(Module):
     def __init__(self, cin, cout, kernel_size=3, stride=1, padding=1,
                  with_r=False, with_boundary=False):
         self.coords = AddCoords(with_r, with_boundary)
-        extra = 2 + int(with_r) + int(with_boundary)
+        extra = 2 + int(with_r) + 2 * int(with_boundary)
         self.conv = nn.Conv2d(cin + extra, cout, kernel_size, stride=stride,
                               padding=padding)
 
