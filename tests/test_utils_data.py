@@ -275,3 +275,29 @@ def test_convert_paddle_layout_pdparams(tmp_path, rng):
     y = y @ torch.tensor(w_head) + torch.tensor(b_head)
     np.testing.assert_allclose(np.asarray(out), y.numpy(), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_device_prefetch_order_and_early_stop():
+    """device_prefetch yields every batch in order with `depth` transfers
+    in flight, and abandoning the generator leaks nothing (no threads)."""
+    from tlxcv_tpu.data.loader import device_prefetch
+
+    put_calls = []
+
+    def put(b):
+        put_calls.append(b)
+        return b * 10
+
+    out = list(device_prefetch(range(5), put, depth=2))
+    assert out == [0, 10, 20, 30, 40]
+    assert put_calls == [0, 1, 2, 3, 4]
+
+    # lookahead: after pulling ONE item, depth+1 puts have been issued
+    put_calls.clear()
+    gen = device_prefetch(range(10), put, depth=3)
+    first = next(gen)
+    assert first == 0 and put_calls == [0, 1, 2, 3]
+    gen.close()  # early abandon — plain generator, nothing to leak
+
+    # shorter than depth
+    assert list(device_prefetch(range(2), put, depth=4)) == [0, 10]

@@ -5,12 +5,12 @@ from .cifar import Cifar10
 from .circles import Circles
 from .coco import CocoDetection, CocoHumanPoseEstimation, CocoIndex
 from .face300w import Face300W
-from .loader import DataLoader, default_collate
+from .loader import DataLoader, default_collate, device_prefetch
 from .synth90k import Synth90k
 from .vision import Dataset, StandardTransform, VisionDataset
 from .wider import Wider
 
 __all__ = ["transforms", "det_transforms", "landmark_transforms", "CasiaWebFace", "Charades", "Cifar10", "Circles",
            "CocoDetection", "CocoHumanPoseEstimation", "CocoIndex",
-           "Face300W", "DataLoader", "default_collate", "Synth90k",
+           "Face300W", "DataLoader", "device_prefetch", "default_collate", "Synth90k",
            "Dataset", "StandardTransform", "VisionDataset", "Wider"]

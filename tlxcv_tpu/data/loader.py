@@ -107,3 +107,30 @@ class DataLoader:
         finally:
             # Generator closed (early break / GC): release the worker.
             stop.set()
+
+
+def device_prefetch(batches: tp.Iterable, put: tp.Callable, depth: int = 2):
+    """Keep ``depth`` device transfers in flight ahead of the consumer.
+
+    ``put`` is the host->device placement (e.g. Trainer._put_batch);
+    ``jax.device_put`` is asynchronous, so issuing batch t+1's transfer
+    before batch t's step is consumed overlaps PCIe/ICI feeding with TPU
+    compute (the 'double-buffered input pipeline' item, BENCHMARKS.md
+    backlog).  Pure lookahead — no threads, safe to abandon early.
+    """
+    import collections
+
+    buf: collections.deque = collections.deque()
+    it = iter(batches)
+    try:
+        while len(buf) < depth:
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -144,10 +144,12 @@ class Trainer:
             losses = []
             if self.metrics is not None:
                 self.metrics.reset()
-            for bi, (x, y) in enumerate(train_dataset):
+            from ..data.loader import device_prefetch
+
+            batches = device_prefetch(train_dataset, self._put_batch)
+            for bi, (x, y) in enumerate(batches):
                 if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
                     break
-                x, y = self._put_batch((x, y))
                 (self.params, self.state, self.opt_state, loss, out
                  ) = self._train_step(self.params, self.state, self.opt_state,
                                       x, y, self._next_key(),
