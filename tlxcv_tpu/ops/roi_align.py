@@ -35,7 +35,22 @@ def multilevel_roi_align(feats, boxes, output_size: int = 7,
     """
     n, _, _, c = feats[0].shape
     hws = [f.shape[1:3] for f in feats[:len(strides)]]
-    flat = jnp.concatenate([f.reshape(n, -1, c)
+
+    # TPU gathers are ROW-COUNT bound (measured ~64M rows/s regardless of
+    # row width — 44.6 ms for the 640^2 b8 box branch's 3.2M rows, 4% of
+    # HBM bandwidth).  Pack all four bilinear corners into ONE row by
+    # concatenating edge-shifted copies channel-wise per level BEFORE
+    # flattening: row (y0, x0) of the packed table carries
+    # (y0,x0), (y0,x0+1), (y1,x0), (y1,x1) with edge replication, which
+    # matches the clamped x1i/y1i indexing exactly -> identical numerics,
+    # 4x fewer gather rows (the round-2 Mask R-CNN profile's #1 cost).
+    def pack4(f):
+        sx = jnp.concatenate([f[:, :, 1:], f[:, :, -1:]], axis=2)
+        sy = jnp.concatenate([f[:, 1:], f[:, -1:]], axis=1)
+        sxy = jnp.concatenate([sy[:, :, 1:], sy[:, :, -1:]], axis=2)
+        return jnp.concatenate([f, sx, sy, sxy], axis=-1)
+
+    flat = jnp.concatenate([pack4(f).reshape(n, -1, 4 * c)
                             for f in feats[:len(strides)]], axis=1)
     offs, acc = [], 0
     for h, w in hws:
@@ -72,9 +87,7 @@ def multilevel_roi_align(feats, boxes, output_size: int = 7,
         wy1 = (ys - y0)[:, :, None]                      # [R, S, 1]
         wx1 = (xs - x0)[:, None, :]                      # [R, 1, S]
         y0i = jnp.clip(y0, 0, hk - 1).astype(jnp.int32)
-        y1i = jnp.minimum(y0i + 1, (hk - 1).astype(jnp.int32))
         x0i = jnp.clip(x0, 0, wk - 1).astype(jnp.int32)
-        x1i = jnp.minimum(x0i + 1, (wk - 1).astype(jnp.int32))
         vy = ((ys > -1.0) & (ys < hk))[:, :, None]
         vx = ((xs > -1.0) & (xs < wk))[:, None, :]
         valid = (vy & vx)[..., None]
@@ -82,16 +95,14 @@ def multilevel_roi_align(feats, boxes, output_size: int = 7,
         off = level_off[ks][:, None]                     # [R, 1]
         wki = level_w[ks][:, None]
         row0 = off + y0i * wki                           # [R, S]
-        row1 = off + y1i * wki
 
-        def g(rows, cols):
-            idx = rows[:, :, None] + cols[:, None, :]    # [R, S, S]
-            return table[idx.reshape(-1)].reshape(idx.shape + (c,))
-
-        v00 = g(row0, x0i)
-        v01 = g(row0, x1i)
-        v10 = g(row1, x0i)
-        v11 = g(row1, x1i)
+        # ONE gather: each packed row holds all four corners (see pack4)
+        idx = row0[:, :, None] + x0i[:, None, :]         # [R, S, S]
+        v = table[idx.reshape(-1)].reshape(idx.shape + (4 * c,))
+        v00 = v[..., 0 * c:1 * c]
+        v01 = v[..., 1 * c:2 * c]
+        v10 = v[..., 2 * c:3 * c]
+        v11 = v[..., 3 * c:4 * c]
         out = (v00 * (1 - wy1[..., None]) * (1 - wx1[..., None])
                + v01 * (1 - wy1[..., None]) * wx1[..., None]
                + v10 * wy1[..., None] * (1 - wx1[..., None])
