@@ -132,11 +132,34 @@ def bench_yolov3_int8():
     return _throughput(infer, (params, state, x), batch, n_iters=10)
 
 
+def bench_mask_rcnn():
+    """Full instance path (RPN -> packed-corner RoIAlign -> box head ->
+    NMS -> mask head) in one jit (BASELINE config #5)."""
+    from tlxcv_tpu.core import pure, split
+    from tlxcv_tpu.models.detection.mask_rcnn import MaskRCNN
+
+    model = MaskRCNN(num_classes=80)
+    params, state = split(model)
+    fwd = pure(model)
+
+    @jax.jit
+    def infer(params, state, x):
+        out, _ = fwd(params, state, x, training=False)
+        return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out))
+
+    batch = 8
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 640, 640, 3)),
+        jnp.bfloat16)
+    return _throughput(infer, (_bf16(params), state, x), batch, n_iters=10)
+
+
 def main():
     resnet_ips = bench_resnet50()
     yolo_ips = bench_yolov3()
     resnet_int8 = bench_resnet50_int8()
     yolo_int8 = bench_yolov3_int8()
+    mrcnn_ips = bench_mask_rcnn()
     print(json.dumps({
         "metric": "resnet50_infer_images_per_sec_per_chip",
         "value": round(resnet_ips, 2),
@@ -150,6 +173,8 @@ def main():
         "resnet50_int8_vs_baseline": round(resnet_int8 / RESNET_TARGET, 4),
         "yolov3_int8_value": round(yolo_int8, 2),
         "yolov3_int8_vs_baseline": round(yolo_int8 / YOLO_TARGET, 4),
+        "mask_rcnn_640_value": round(mrcnn_ips, 2),
+        "mask_rcnn_640_unit": "img/s",
     }))
 
 
