@@ -33,5 +33,16 @@ if __name__ == "__main__":
     trainer = GANTrainer(model.backbone,
                          optimizer_g=optimizers.Adam(2e-4, beta_1=0.5),
                          optimizer_d=optimizers.Adam(2e-4, beta_1=0.5))
-    trainer.train(n_epoch=25, train_dataset=train_dataloader, print_freq=1)
+    # Periodic FID validation (the reference configs' `validate:` block;
+    # reference gan/configs/cyclegan_horse2zebra.yaml:126)
+    from tlxcv_tpu.train import GanValidator
+
+    validator = GanValidator(metrics={"fid": {"name": "FID", "batch_size": 32}})
+    val_dataset = Cifar10(root="./data/cifar10", split="test",
+                          transform=transform)
+    val_loader = DataLoader(val_dataset, batch_size=64, drop_last=True)
+    trainer.train(n_epoch=25, train_dataset=train_dataloader, print_freq=1,
+                  val_dataset=val_loader, validator=validator,
+                  val_max_batches=8)
+    print("validation:", trainer.val_results)
     trainer.save_weights("./demo/gan/model.npz")

@@ -180,6 +180,52 @@ def build_gan_trainer(path):
         cfg = yaml.safe_load(f)
     kind = cfg["model"]
     tkw = dict(cfg.get("trainer", {}))
+
+    def _attach_validator(nets_trainer):
+        from .train.gan_validate import GanValidator
+
+        nets, trainer = nets_trainer
+        trainer.validator = GanValidator.from_config(cfg.get("validate"))
+        return nets, trainer
+
+    if kind == "cyclegan":
+        from .models.gan.cyclegan import CycleGANModel
+        from .train import GANTrainer
+
+        gkw = dict(cfg.get("generator", {}))
+        dkw = dict(cfg.get("discriminator", {}))
+        net = CycleGANModel(
+            ngf=gkw.get("ngf", 64), ndf=dkw.get("ndf", 64),
+            n_blocks=gkw.get("n_blocks", 9),
+            lambda_a=tkw.get("lambda_a", 10.0),
+            lambda_b=tkw.get("lambda_b", 10.0),
+            lambda_identity=tkw.get("lambda_identity", 0.5))
+        import optax
+
+        opt = optax.adam(tkw.get("lr", 2e-4), b1=tkw.get("beta1", 0.5))
+        return _attach_validator(
+            (net, GANTrainer(net, optimizer_g=opt, optimizer_d=opt)))
+    if kind == "prenet":
+        # Deraining is supervised (rainy -> clean): generic Trainer, not
+        # the adversarial loop (reference prenet.yaml has no netD).
+        from .models.gan.prenet import PReNetModel
+        from .train import Trainer
+
+        gkw = dict(cfg.get("generator", {}))
+        net = PReNetModel({"recurrent_iter": gkw["recurrent_iter"]}
+                          if "recurrent_iter" in gkw else None)
+        import optax
+
+        lr = tkw.get("lr", 1e-3)
+        sched = lr
+        if "milestones" in tkw:
+            steps_per = tkw.get("steps_per_epoch", 1)
+            sched = optax.piecewise_constant_schedule(
+                lr, {int(m * steps_per): tkw.get("gamma", 0.2)
+                     for m in tkw["milestones"]})
+        return _attach_validator(
+            (net, Trainer(network=net, loss_fn=net.loss_fn,
+                          optimizer=optax.adam(sched))))
     if kind == "styleganv2":
         from .models.gan import (StyleGANv2Discriminator,
                                  StyleGANv2Generator)

@@ -32,13 +32,33 @@ class GANTrainer:
         self.od = self.opt_d.init(self.params_d)
         self._key = jax.random.key(seed)
 
-        def d_call(m, real):
-            fake = m(real)
-            return m.d_loss(real, fake)
+        # CycleGAN-style models expose paired g_loss(real_a, real_b);
+        # DCGAN-style expose g_loss(fake) — detect by arity.
+        import inspect
 
-        def g_call(m, real):
-            fake = m(real)
-            return m.g_loss(fake)
+        try:
+            g_arity = sum(
+                p.default is inspect.Parameter.empty
+                and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                for p in inspect.signature(network.g_loss).parameters.values())
+        except (AttributeError, ValueError):
+            g_arity = 1
+        self.paired = g_arity >= 2
+
+        if self.paired:
+            def d_call(m, a, b):
+                return m.d_loss(a, b)
+
+            def g_call(m, a, b):
+                return m.g_loss(a, b)
+        else:
+            def d_call(m, real):
+                fake = m(real)
+                return m.d_loss(real, fake)
+
+            def g_call(m, real):
+                fake = m(real)
+                return m.g_loss(fake)
 
         self._d_pure = pure(network, d_call)
         self._g_pure = pure(network, g_call)
@@ -47,11 +67,11 @@ class GANTrainer:
         d_pure, g_pure = self._d_pure, self._g_pure
 
         @jax.jit
-        def step(pg, pd, og, od, state, real, key):
+        def step(pg, pd, og, od, state, reals, key):
             kd, kg = jax.random.split(key)
 
             def d_loss_fn(pd):
-                loss, new_state = d_pure({**pg, **pd}, state, real,
+                loss, new_state = d_pure({**pg, **pd}, state, *reals,
                                          training=True, rngs=Rngs(noise=kd))
                 return loss, new_state
 
@@ -61,7 +81,7 @@ class GANTrainer:
             pd = optax.apply_updates(pd, ud)
 
             def g_loss_fn(pg):
-                loss, new_state = g_pure({**pg, **pd}, state, real,
+                loss, new_state = g_pure({**pg, **pd}, state, *reals,
                                          training=True, rngs=Rngs(noise=kg))
                 return loss, new_state
 
@@ -78,27 +98,67 @@ class GANTrainer:
         return sub
 
     def train(self, n_epoch, train_dataset, print_freq=1,
-              max_steps_per_epoch=None):
+              max_steps_per_epoch=None, val_dataset=None, validator=None,
+              val_sample_fn=None, val_max_batches=None):
+        """``validator`` is a :class:`~tlxcv_tpu.train.gan_validate.GanValidator`
+        (built from a config's ``validate:`` block); when given together
+        with ``val_dataset`` it runs every ``validator.interval`` steps
+        (or at every epoch end if the interval is 0) and the last scores
+        land in ``self.val_results``."""
+        validator = validator or getattr(self, "validator", None)
+        sample = val_sample_fn or self._default_val_sample
+        step_i = 0
         for epoch in range(n_epoch):
             t0 = time.time()
             dls, gls = [], []
             for bi, batch in enumerate(train_dataset):
                 if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
                     break
-                real = jnp.asarray(batch[0] if isinstance(batch, (tuple, list))
-                                   else batch)
+                if self.paired:
+                    reals = (jnp.asarray(batch[0]), jnp.asarray(batch[1]))
+                else:
+                    reals = (jnp.asarray(
+                        batch[0] if isinstance(batch, (tuple, list))
+                        else batch),)
                 (self.params_g, self.params_d, self.og, self.od, self.state,
                  dl, gl) = self._step(self.params_g, self.params_d, self.og,
-                                      self.od, self.state, real,
+                                      self.od, self.state, reals,
                                       self._next_key())
                 dls.append(float(dl))
                 gls.append(float(gl))
+                step_i += 1
+                if (validator is not None and val_dataset is not None
+                        and validator.interval > 0
+                        and step_i % validator.interval == 0):
+                    self._validate(validator, sample, val_dataset,
+                                   val_max_batches)
             if (epoch + 1) % print_freq == 0:
                 print(f"Epoch {epoch + 1}/{n_epoch} "
                       f"({time.time() - t0:.1f}s) "
                       f"D: {np.mean(dls):.4f} G: {np.mean(gls):.4f}")
+            if (validator is not None and val_dataset is not None
+                    and validator.interval == 0):
+                self._validate(validator, sample, val_dataset, val_max_batches)
         self._sync_to_network()
         return self
+
+    def _default_val_sample(self, batch):
+        """Paired image batch (input, target) -> (G(input), target); an
+        (images, labels) or bare batch -> (G(x), x) — the FID real/fake
+        convention."""
+        if isinstance(batch, (tuple, list)) and len(batch) >= 2 \
+                and np.ndim(batch[1]) >= 3:
+            inp, tgt = batch[0], batch[1]
+        else:
+            inp = tgt = batch[0] if isinstance(batch, (tuple, list)) else batch
+        return np.asarray(self.generate(inp)), np.asarray(tgt)
+
+    def _validate(self, validator, sample, val_dataset, max_batches):
+        self.val_results = validator.run(sample, val_dataset,
+                                         max_batches=max_batches)
+        line = " ".join(f"{k}: {v:.4f}" for k, v in self.val_results.items())
+        print(f"validate | {line}")
+        return self.val_results
 
     def generate(self, batch_or_noise):
         fwd = pure(self.network)
