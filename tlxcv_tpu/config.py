@@ -62,6 +62,22 @@ def _populate():
         "ppyoloe_x": lambda **k: M.ppyoloe("ppyoloe_x", **k),
         "detr": lambda **k: M.detr_resnet50(**k),
         "mask_rcnn": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["MaskRCNN"]).MaskRCNN(**k),
+        "fcos_r50": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["fcos_r50"]).fcos_r50(**k),
+        "retinanet": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["retinanet_r50"]).retinanet_r50(**k),
+        "faster_rcnn": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["faster_rcnn"]).faster_rcnn(**k),
+        "cascade_rcnn": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["cascade_rcnn_r50"]).cascade_rcnn_r50(**k),
+        "gfl_r50": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["gfl_r50"]).gfl_r50(**k),
+        **{name: (lambda name: lambda **k: __import__(
+            "tlxcv_tpu.models.detection", fromlist=["yolox"]).yolox(
+            name, **k))(name)
+           for name in ("yolox_nano", "yolox_tiny", "yolox_s", "yolox_m",
+                        "yolox_l", "yolox_x")},
+        "tood_r50": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["tood_r50"]).tood_r50(**k),
+        "centernet": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["centernet_r50"]).centernet_r50(**k),
+        "ttfnet": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["ttfnet_darknet53"]).ttfnet_darknet53(**k),
+        "picodet_lcnet": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["picodet_lcnet"]).picodet_lcnet(**k),
+        "solov2_r50": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["solov2_r50"]).solov2_r50(**k),
+        "fcos_dcn_r50": lambda **k: __import__("tlxcv_tpu.models.detection", fromlist=["fcos_dcn_r50"]).fcos_dcn_r50(**k),
         "pose_hrnet_w32": lambda **k: M.PoseHighResolutionNet(**k),
         "pfld": lambda **k: M.PFLD(**k),
         "retinaface": lambda **k: M.RetinaFace(**k),

@@ -124,7 +124,7 @@ class MaskRCNN(Module):
                  rpn_nms_thresh=0.7, box_score_thresh=0.05,
                  box_nms_thresh=0.5, detections_per_image=100,
                  mask_resolution=14, backbone=None, rpn_matrix_nms=False,
-                 box_matrix_nms=False):
+                 box_matrix_nms=False, with_mask=True):
         self.rpn_matrix_nms = rpn_matrix_nms
         self.box_matrix_nms = box_matrix_nms
         from ..classification.resnet import ResNet
@@ -137,7 +137,8 @@ class MaskRCNN(Module):
         self.box_head = TwoFCHead(256 * 7 * 7, 1024)
         self.cls_score = nn.Linear(1024, num_classes + 1)
         self.bbox_pred = nn.Linear(1024, 4)  # class-agnostic regression
-        self.mask_head = MaskHead(256, num_classes)
+        self.with_mask = with_mask
+        self.mask_head = MaskHead(256, num_classes) if with_mask else None
         self.num_classes = num_classes
         self.num_proposals = num_proposals
         self.pre_nms_top_k = pre_nms_top_k
@@ -232,6 +233,8 @@ class MaskRCNN(Module):
                 nms_threshold=self.box_nms_thresh,
                 nms_top_k=self.num_proposals,
                 keep_top_k=self.detections_per_image)
+        if not self.with_mask:
+            return dets, counts
         det_boxes = dets[..., 2:6]
         mask_feats = _multilevel_roi_align(feats, det_boxes,
                                            self.mask_resolution)
@@ -341,7 +344,7 @@ class MaskRCNN(Module):
         total = rpn_cls + rpn_reg + box_cls + box_reg
 
         # ---- mask head (only when GT masks provided)
-        gt_masks = targets.get("masks")
+        gt_masks = targets.get("masks") if self.with_mask else None
         if gt_masks is not None:
             mask_feats = _multilevel_roi_align(outputs["feats"], props,
                                                self.mask_resolution)

@@ -1,0 +1,189 @@
+"""RetinaNet — one-stage anchor-based detector with focal loss.
+
+The reference README claims RetinaNet complete (reference README.md:117)
+but ships no source; built from scratch to the PaddleDet
+retinanet_r50_fpn_1x_coco spec, TPU-first:
+
+- ResNet-50 + P3-P7 FPN (P6/P7 stride-2 convs taken from C5 — the
+  RetinaNet placement, vs FCOS's P5), 9 anchors/cell
+  (3 octave scales x 3 ratios, base size 4x stride).
+- Shared 4-conv towers; focal-prior bias on the classification output.
+- **On-device anchor matching** (no host loops): IoU-argmax with the
+  0.4/0.5 ignore band and low-quality forcing of each GT's best anchor,
+  all as one [M, A] tensor pass under vmap.
+- Loss: sigmoid focal / num_pos + smooth-L1 on matched deltas.
+- Eval: delta decode + padded multiclass NMS in one jit.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import nn
+from ...core.module import Module, is_training
+from ...ops import multiclass_nms, pairwise_iou
+from ...ops.boxes import bbox2delta, clip_boxes, delta2bbox
+from ...ops.losses import sigmoid_focal_loss, smooth_l1_loss
+from .fcos import FPNP3P7
+
+__all__ = ["RetinaNet", "RetinaNetHead", "retinanet_r50"]
+
+STRIDES = (8, 16, 32, 64, 128)
+OCTAVES = (1.0, 2 ** (1 / 3), 2 ** (2 / 3))
+RATIOS = (0.5, 1.0, 2.0)
+
+
+def _retina_anchors(feat_hws, strides=STRIDES, octave_base_scale=4,
+                    ratios=RATIOS, octaves=OCTAVES):
+    """Host-side anchors [A, 4] xyxy over all levels (9 per cell)."""
+    out = []
+    for (h, w), s in zip(feat_hws, strides):
+        base = octave_base_scale * s
+        wh = []
+        for o in octaves:
+            for r in ratios:
+                size = base * o
+                wh.append((size * math.sqrt(r), size / math.sqrt(r)))
+        wh = np.asarray(wh, np.float32)                     # [9, 2]
+        cx = (np.arange(w, dtype=np.float32) + 0.5) * s
+        cy = (np.arange(h, dtype=np.float32) + 0.5) * s
+        cxg, cyg = np.meshgrid(cx, cy)
+        centers = np.stack([cxg, cyg], -1).reshape(-1, 1, 2)
+        boxes = np.concatenate([centers - wh[None] / 2,
+                                centers + wh[None] / 2], -1)
+        out.append(boxes.reshape(-1, 4))
+    return np.concatenate(out)
+
+
+class RetinaNetHead(Module):
+    def __init__(self, in_ch=256, num_classes=80, num_anchors=9,
+                 num_convs=4, prior_prob=0.01):
+        self.cls_tower = [nn.Conv2d(in_ch, in_ch, 3, padding=1)
+                          for _ in range(num_convs)]
+        self.reg_tower = [nn.Conv2d(in_ch, in_ch, 3, padding=1)
+                          for _ in range(num_convs)]
+        bias = -math.log((1 - prior_prob) / prior_prob)
+        self.cls_pred = nn.Conv2d(in_ch, num_anchors * num_classes, 3,
+                                  padding=1,
+                                  b_init=lambda s: jnp.full(s, bias))
+        self.reg_pred = nn.Conv2d(in_ch, num_anchors * 4, 3, padding=1)
+        self.num_classes = num_classes
+        self.num_anchors = num_anchors
+
+    def __call__(self, feats):
+        """-> cls_logits [N, A_total, C], deltas [N, A_total, 4]."""
+        cls_l, reg_l = [], []
+        for f in feats:
+            c, r = f, f
+            for conv in self.cls_tower:
+                c = nn.relu(conv(c))
+            for conv in self.reg_tower:
+                r = nn.relu(conv(r))
+            n = f.shape[0]
+            cls_l.append(self.cls_pred(c).reshape(n, -1, self.num_classes))
+            reg_l.append(self.reg_pred(r).reshape(n, -1, 4))
+        return jnp.concatenate(cls_l, 1), jnp.concatenate(reg_l, 1)
+
+
+def retina_match(anchors, gt_boxes, gt_labels, gt_valid,
+                 pos_iou=0.5, neg_iou=0.4):
+    """One-image anchor matching.  Returns (matched_gt [A], pos [A],
+    ignore [A]) — low-quality matches (each GT's best anchor) forced
+    positive, the (neg_iou, pos_iou) band ignored."""
+    iou = pairwise_iou(gt_boxes, anchors)                  # [M, A]
+    iou = jnp.where(gt_valid[:, None] > 0, iou, -1.0)
+    best_gt = jnp.argmax(iou, 0)
+    best_iou = jnp.max(iou, 0)
+    pos = best_iou >= pos_iou
+    ignore = (best_iou >= neg_iou) & ~pos
+    a_n = anchors.shape[0]
+    gt_best_anchor = jnp.argmax(iou, 1)                    # [M]
+    force = jnp.zeros_like(pos).at[
+        jnp.where(gt_valid > 0, gt_best_anchor, a_n)].set(True, mode="drop")
+    best_gt = best_gt.at[
+        jnp.where(gt_valid > 0, gt_best_anchor, a_n)].set(
+        jnp.arange(gt_boxes.shape[0]), mode="drop")
+    pos = pos | force
+    ignore = ignore & ~pos
+    return best_gt, pos, ignore
+
+
+class RetinaNet(Module):
+    def __init__(self, num_classes=80, backbone=None, score_threshold=0.05,
+                 nms_threshold=0.5, nms_top_k=1000, keep_top_k=100,
+                 delta_weights=(10.0, 10.0, 5.0, 5.0)):
+        from ..classification.resnet import ResNet
+
+        self.backbone = backbone if backbone is not None else \
+            ResNet(depth=50, num_classes=0, with_pool=False)
+        self.neck = FPNP3P7(self.backbone.feat_channels[1:], 256,
+                            extra_on_input=True)
+        self.head = RetinaNetHead(256, num_classes)
+        self.num_classes = num_classes
+        self.delta_weights = delta_weights
+        self.nms_cfg = dict(score_threshold=score_threshold,
+                            nms_threshold=nms_threshold,
+                            nms_top_k=nms_top_k, keep_top_k=keep_top_k)
+        self._anchor_cache = {}
+
+    def _anchors(self, feat_hws):
+        key = tuple(feat_hws)
+        if key not in self._anchor_cache:
+            self._anchor_cache[key] = _retina_anchors(key)
+        return self._anchor_cache[key]
+
+    def head_outputs(self, images):
+        c3, c4, c5 = self.backbone.features(images)[1:]
+        feats = self.neck([c3, c4, c5])
+        cls, reg = self.head(feats)
+        return cls, reg, tuple(f.shape[1:3] for f in feats)
+
+    def __call__(self, images):
+        cls, reg, feat_hws = self.head_outputs(images)
+        anchors = jnp.asarray(self._anchors(feat_hws))
+        if is_training():
+            return {"cls_logits": cls, "deltas": reg, "anchors": anchors,
+                    "image_hw": images.shape[1:3]}
+        boxes = jax.vmap(lambda d: delta2bbox(
+            d.astype(jnp.float32), anchors, weights=self.delta_weights))(reg)
+        boxes = clip_boxes(boxes, images.shape[1:3])
+        scores = jax.nn.sigmoid(cls.astype(jnp.float32))
+        return multiclass_nms(boxes, scores, **self.nms_cfg)
+
+    def loss_fn(self, outputs, targets):
+        gt_boxes = targets["boxes"].astype(jnp.float32)
+        gt_labels = targets["class_labels"].astype(jnp.int32)
+        gt_valid = targets.get("mask")
+        if gt_valid is None:
+            gt_valid = (gt_boxes[..., 2] > gt_boxes[..., 0]).astype(jnp.float32)
+        anchors = outputs["anchors"]
+
+        best_gt, pos, ignore = jax.vmap(
+            lambda bx, lb, vd: retina_match(anchors, bx, lb, vd)
+        )(gt_boxes, gt_labels, gt_valid)
+
+        t_label = jnp.take_along_axis(gt_labels, best_gt, 1)
+        t_label = jnp.where(pos, t_label, self.num_classes)
+        onehot = jax.nn.one_hot(t_label, self.num_classes, dtype=jnp.float32)
+        focal = sigmoid_focal_loss(
+            outputs["cls_logits"].astype(jnp.float32), onehot).sum(-1)
+        num_pos = jnp.maximum(pos.sum(), 1.0)
+        cls_loss = jnp.where(ignore, 0.0, focal).sum() / num_pos
+
+        matched = jnp.take_along_axis(gt_boxes, best_gt[..., None], 1)
+        b = gt_boxes.shape[0]
+        t_delta = bbox2delta(
+            jnp.broadcast_to(anchors, (b,) + anchors.shape), matched,
+            weights=self.delta_weights)
+        reg = smooth_l1_loss(outputs["deltas"].astype(jnp.float32),
+                             jax.lax.stop_gradient(t_delta),
+                             reduction="none").sum(-1)
+        reg_loss = jnp.where(pos, reg, 0.0).sum() / num_pos
+        return cls_loss + reg_loss
+
+
+def retinanet_r50(num_classes=80, **kwargs):
+    return RetinaNet(num_classes=num_classes, **kwargs)
