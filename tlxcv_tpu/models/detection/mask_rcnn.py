@@ -111,12 +111,13 @@ class MaskHead(Module):
         return x.reshape((n, r) + x.shape[1:])
 
 
-def _multilevel_roi_align(feats, boxes, output_size):
+def _multilevel_roi_align(feats, boxes, output_size, sampling_ratio=2):
     """RoIAlign with FPN level assignment over the flattened pyramid —
     exactly one level's worth of gathers per box (the round-1
     all-levels + one-hot-select formulation cost 4x the gather volume
     and dominated the 26 img/s profile; ops.roi_align.multilevel_roi_align)."""
-    return multilevel_roi_align(feats, boxes, output_size)
+    return multilevel_roi_align(feats, boxes, output_size,
+                                sampling_ratio=sampling_ratio)
 
 
 class MaskRCNN(Module):
@@ -124,7 +125,8 @@ class MaskRCNN(Module):
                  rpn_nms_thresh=0.7, box_score_thresh=0.05,
                  box_nms_thresh=0.5, detections_per_image=100,
                  mask_resolution=14, backbone=None, rpn_matrix_nms=False,
-                 box_matrix_nms=False, with_mask=True):
+                 box_matrix_nms=False, with_mask=True,
+                 mask_sampling_ratio=1, box_sampling_ratio=1):
         self.rpn_matrix_nms = rpn_matrix_nms
         self.box_matrix_nms = box_matrix_nms
         from ..classification.resnet import ResNet
@@ -147,6 +149,12 @@ class MaskRCNN(Module):
         self.box_nms_thresh = box_nms_thresh
         self.detections_per_image = detections_per_image
         self.mask_resolution = mask_resolution
+        # 1 sample/bin for the mask branch: the align is gather-bandwidth
+        # bound (~40 GB/s effective, BENCHMARKS.md) and sr=2 quadruples
+        # the fetched volume for sub-bin detail the 14->28 upsampled mask
+        # head barely uses; sr=2 restores the torchvision default.
+        self.mask_sampling_ratio = mask_sampling_ratio
+        self.box_sampling_ratio = box_sampling_ratio
         self._anchor_cache = {}
 
     # ------------------------------------------------------------------
@@ -199,7 +207,8 @@ class MaskRCNN(Module):
     def __call__(self, images):
         feats, rpn_logits, rpn_deltas, anchors, props, pmask = \
             self.forward_features(images)
-        pooled = _multilevel_roi_align(feats, props, self.box_roi_size)
+        pooled = _multilevel_roi_align(feats, props, self.box_roi_size,
+                                       self.box_sampling_ratio)
         hidden = self.box_head(pooled)
         cls_logits = self.cls_score(hidden)     # [N, R, C+1]
         box_deltas = self.bbox_pred(hidden)     # [N, R, 4]
@@ -237,7 +246,8 @@ class MaskRCNN(Module):
             return dets, counts
         det_boxes = dets[..., 2:6]
         mask_feats = _multilevel_roi_align(feats, det_boxes,
-                                           self.mask_resolution)
+                                           self.mask_resolution,
+                                           self.mask_sampling_ratio)
         mask_logits = self.mask_head(mask_feats)  # [N, K, 28, 28, C]
         labels = jnp.clip(dets[..., 0].astype(jnp.int32), 0,
                           self.num_classes - 1)
@@ -347,7 +357,8 @@ class MaskRCNN(Module):
         gt_masks = targets.get("masks") if self.with_mask else None
         if gt_masks is not None:
             mask_feats = _multilevel_roi_align(outputs["feats"], props,
-                                               self.mask_resolution)
+                                               self.mask_resolution,
+                                               self.mask_sampling_ratio)
             mask_logits = self.mask_head(mask_feats)  # [B, R, 2S, 2S, C]
             ms2 = mask_logits.shape[2]
 
