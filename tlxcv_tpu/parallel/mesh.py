@@ -79,3 +79,39 @@ def data_parallel_shardings(mesh: tp.Optional[Mesh] = None):
     """(replicated, batch-sharded) NamedShardings for jit annotations."""
     mesh = get_mesh(mesh)
     return NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+
+
+def fsdp_shardings(params: dict, mesh: tp.Optional[Mesh] = None,
+                   axis: str = "data", min_size: int = 2 ** 14):
+    """ZeRO-3-style per-parameter shardings: each tensor is sharded along
+    its LARGEST dimension divisible by the mesh axis; tensors smaller
+    than `min_size` elements stay replicated (sharding tiny biases costs
+    more in collective latency than it saves in HBM).
+
+    Under ``jax.jit`` this is the whole FSDP implementation: parameters
+    enter the step sharded, XLA inserts the all-gather at each use site
+    and the reduce-scatter on the mirrored gradients, and the
+    (elementwise) optimizer update stays sharded — the scaling-book
+    recipe, no wrapper classes.
+
+    Returns {path: NamedSharding}; use :func:`place_params` to apply.
+    """
+    mesh = get_mesh(mesh)
+    n = mesh.shape[axis]
+    out = {}
+    for k, v in params.items():
+        shape = getattr(v, "shape", ())
+        size = int(np.prod(shape)) if shape else 0
+        spec = P()
+        if size >= min_size and n > 1:
+            dims = [(d, s) for d, s in enumerate(shape) if s % n == 0]
+            if dims:
+                d = max(dims, key=lambda t: t[1])[0]
+                spec = P(*([None] * d + [axis]))
+        out[k] = NamedSharding(mesh, spec)
+    return out
+
+
+def place_params(params: dict, shardings: dict):
+    """device_put each param onto its sharding (host->sharded HBM)."""
+    return {k: jax.device_put(v, shardings[k]) for k, v in params.items()}

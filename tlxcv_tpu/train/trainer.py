@@ -32,7 +32,11 @@ class Trainer:
 
     def __init__(self, network: Module, loss_fn=None, optimizer=None,
                  metrics: tp.Optional[Metric] = None, mesh=None, seed: int = 0,
-                 loss_has_aux: bool = False):
+                 loss_has_aux: bool = False, param_sharding: str = "replicated"):
+        """``param_sharding="fsdp"`` shards every large parameter over the
+        mesh 'data' axis (ZeRO-3; parallel.mesh.fsdp_shardings) — XLA
+        inserts the all-gathers/reduce-scatters; the optimizer state
+        inherits the sharding via zeros_like at init."""
         self.network = network
         self.loss_fn = loss_fn if loss_fn is not None else network.loss_fn
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-3)
@@ -44,6 +48,13 @@ class Trainer:
             self.mesh = make_mesh(1, 1)
 
         self.params, self.state = split(network)
+        if param_sharding == "fsdp":
+            from ..parallel.mesh import fsdp_shardings, place_params
+
+            self.param_shardings = fsdp_shardings(self.params, self.mesh)
+            self.params = place_params(self.params, self.param_shardings)
+        elif param_sharding != "replicated":
+            raise ValueError(f"unknown param_sharding {param_sharding!r}")
         self.opt_state = self.optimizer.init(self.params)
         self.step = 0
         self._key = jax.random.key(seed)
