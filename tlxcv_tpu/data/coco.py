@@ -63,6 +63,14 @@ class CocoDetection(VisionDataset):
     def _load_image(self, img_id):
         info = self.coco.imgs[img_id]
         path = os.path.join(self.root, info["file_name"])
+        if path.lower().endswith((".jpg", ".jpeg")):
+            # native libjpeg decode (multi-thread capable, no Python in
+            # the loop; tlxcv_tpu.native) — PIL only for other formats
+            from .. import native
+
+            if native.jpeg_available():
+                with open(path, "rb") as f:
+                    return native.decode_jpeg(f.read())
         from PIL import Image
 
         return np.asarray(Image.open(path).convert("RGB"))

@@ -102,3 +102,109 @@ def _fallback(images, size, mean, std):
                      sw - 1).astype(int)
         out = images[:, ys][:, :, xs].astype(np.float32)
     return (out - mean) / std
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode (links system libjpeg; separate .so so image_ops stays
+# dependency-free)
+# ---------------------------------------------------------------------------
+_JPEG_SRC = os.path.join(_HERE, "jpeg_ops.cpp")
+_JPEG_LIB_PATH = os.path.join(_HERE, "_build", "libjpeg_ops.so")
+_jpeg_lib = None
+_jpeg_failed = False
+
+
+def _load_jpeg():
+    global _jpeg_lib, _jpeg_failed
+    with _lock:
+        if _jpeg_lib is not None or _jpeg_failed:
+            return _jpeg_lib
+        try:
+            if (not os.path.exists(_JPEG_LIB_PATH) or
+                    os.path.getmtime(_JPEG_LIB_PATH)
+                    < os.path.getmtime(_JPEG_SRC)):
+                os.makedirs(os.path.dirname(_JPEG_LIB_PATH), exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-pthread", _JPEG_SRC, "-ljpeg", "-o", _JPEG_LIB_PATH],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_JPEG_LIB_PATH)
+            lib.decode_resize_normalize_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+            lib.decode_resize_normalize_batch.restype = ctypes.c_int
+            lib.decode_jpeg.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.decode_jpeg.restype = ctypes.c_int
+            _jpeg_lib = lib
+        except Exception:
+            _jpeg_failed = True
+            _jpeg_lib = None
+    return _jpeg_lib
+
+
+def jpeg_available() -> bool:
+    return _load_jpeg() is not None
+
+
+def decode_jpeg(data: bytes, max_hw=(8192, 8192)) -> np.ndarray:
+    """Decode one JPEG -> [H, W, 3] uint8 RGB (native libjpeg; PIL
+    fallback)."""
+    lib = _load_jpeg()
+    if lib is None:
+        from PIL import Image
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    buf = np.frombuffer(data, np.uint8)
+    cap = max_hw[0] * max_hw[1] * 3
+    out = np.empty(cap, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.decode_jpeg(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def decode_resize_normalize(jpegs, size, mean, std,
+                            threads: int = 0) -> np.ndarray:
+    """Fused native pipeline: list of JPEG byte strings -> decoded,
+    bilinear-resized, normalized float32 [N, dh, dw, 3] in ONE
+    multi-threaded C++ pass (decode and resize never surface to Python).
+
+    Falls back to per-image decode + resize_normalize_batch when the
+    native jpeg lib is unavailable.
+    """
+    dh, dw = size
+    mean = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(mean, np.float32), (3,)))
+    std = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(std, np.float32), (3,)))
+    lib = _load_jpeg()
+    if lib is None:
+        imgs = [decode_jpeg(j) for j in jpegs]
+        return np.stack([
+            resize_normalize_batch(im, size, mean, std)[0] for im in imgs])
+    data = np.frombuffer(b"".join(jpegs), np.uint8)
+    offsets = np.zeros(len(jpegs) + 1, np.int64)
+    np.cumsum([len(j) for j in jpegs], out=offsets[1:])
+    out = np.empty((len(jpegs), dh, dw, 3), np.float32)
+    rc = lib.decode_resize_normalize_batch(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(jpegs),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw,
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), threads)
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed at image {rc - 1}")
+    return out
