@@ -86,6 +86,10 @@ def _populate():
         "i3d": lambda **k: M.InceptionI3d(**k),
         "dcgan": lambda **k: M.DCGANModel(**k),
         "cyclegan": lambda **k: M.CycleGANModel(**k),
+        # README-table aliases for differently-suffixed factories
+        "darknet53": lambda **k: C.darknet53_cls(**k),
+        "pp_hgnet": lambda **k: C.pp_hgnet_small(**k),
+        "rexnet": lambda **k: C.rexnet_1_0(**k),
         "bit": lambda **k: RS.BIT(**k),
         "snunet": lambda **k: RS.SNUNet(**k),
         "fc_ef": lambda **k: RS.FCEarlyFusion(**k),

@@ -23,31 +23,34 @@ from .vision_transformer import (VisionTransformer, vit_base_patch16_224,
                                  vit_large_patch32_384, vit_small_patch16_224)
 from .convnext import (ConvNeXt, convnext_base, convnext_large,
                        convnext_small, convnext_tiny)
-from .deit import DistilledVisionTransformer, deit_base, deit_small, deit_tiny
+from .deit import (DistilledVisionTransformer, deit_base, deit_small,
+                   deit_tiny, distilled_vision_transformer, dvt)
 from .inceptionv3 import InceptionV3, inception_v3
 from .regnet import RegNet, regnetx_4gf, regnety_4gf
 from .swin_transformer import (SwinTransformer, swin_base, swin_large,
                                swin_small, swin_tiny, swin_transformer_base)
-from .xception import Xception, xception, xception41
+from .xception import Xception, xception, xception41, xception65
 from .cspdarknet import CSPDarkNet, DarkNet53, cspdarknet53, darknet53_cls
 from .ghostnet import GhostNet, ghostnet
 from .pp_lcnet import PPLCNet, pp_lcnet
-from .rednet import RedNet, rednet26, rednet50
+from .rednet import RedNet, rednet26, rednet50, rednet101
 from .res2net import Res2Net, res2net50_26w_4s, res2net101_26w_4s
 from .se_resnext import (ResNeSt, SEResNeXt, resnest50, se_resnext50_32x4d)
 from .van import VAN, van_b0, van_b1
-from .dpn_dla import DLA, DPN, dla34, dpn68
+from .dpn_dla import DLA, DPN, dla34, dla102, dpn68, dpn107
 from .mixnet import MixNet, mixnet_m, mixnet_s
-from .peleenet import HarDNet, PeleeNet, hardnet68, peleenet
+from .peleenet import (HarDNet, PeleeNet, hardnet39, hardnet68,
+                       hardnet85, peleenet)
 from .pvt_v2 import PVTv2, pvt_v2_b0, pvt_v2_b1, pvt_v2_b2
 from .rexnet import ReXNet, rexnet_1_0, rexnet_1_3
-from .esnet import ESNet, PPLCNetV2, esnet_x1_0, pp_lcnet_v2
+from .esnet import ESNet, PPLCNetV2, esnet_x0_5, esnet_x1_0, pp_lcnet_v2
 from .tnt import PPHGNet, TNT, pp_hgnet_small, tnt_s
 from .cswin import CSWinTransformer, cswin_small, cswin_tiny
 from .gvt import (ALTGVT, CPVTV2, alt_gvt_base, alt_gvt_large,
                   alt_gvt_small, pcpvt_base, pcpvt_large, pcpvt_small)
 from .levit import (LeViT, levit_128, levit_128s, levit_192, levit_256,
                     levit_384)
-from .xception_deeplab import XceptionDeeplab, xception_deeplab
+from .xception_deeplab import (XceptionDeeplab, xception41_deeplab,
+                               xception65_deeplab, xception_deeplab)
 
 gvt_small = alt_gvt_small  # round-1 alias kept for back-compat

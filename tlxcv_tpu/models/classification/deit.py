@@ -66,3 +66,12 @@ def deit_base(pretrained=False, **kw):
     kw.setdefault("num_heads", 12)
     kw.setdefault("qkv_bias", True)
     return DistilledVisionTransformer(**kw)
+
+
+def dvt(pretrained=False, **kw):
+    """Distilled ViT base (reference README.md:50 'dvt' =
+    distilled_vision_transformer.py) — alias of deit_base."""
+    return deit_base(pretrained=pretrained, **kw)
+
+
+distilled_vision_transformer = dvt

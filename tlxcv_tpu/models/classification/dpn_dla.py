@@ -54,18 +54,27 @@ class DualPathBlock(nn.Module):
 
 
 class DPN(nn.Module):
-    def __init__(self, num_classes=1000, small=True):
-        # dpn68 config
-        k_r, groups, inc_sec = 128, 32, (16, 32, 32, 64)
-        k_sec = (3, 4, 12, 3)
-        bw = (64, 128, 256, 512)
-        self.stem = nn.Sequential(
-            nn.Conv2d(3, 10, 3, stride=2, padding=1, bias=False),
-            nn.BatchNorm(10), nn.Activation("relu"), nn.MaxPool2d(3, 2, 1))
+    def __init__(self, num_classes=1000, small=True, k_r=128, groups=32,
+                 inc_sec=(16, 32, 32, 64), k_sec=(3, 4, 12, 3),
+                 stem_ch=10):
+        # small=True is the dpn68 config; small=False the large-DPN stem
+        # (7x7 s2) and bandwidth table (dpn107: k_r=200 g=50)
+        bw = (64, 128, 256, 512) if small else (256, 512, 1024, 2048)
+        r_div = 64 if small else 256
+        if small:
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, stem_ch, 3, stride=2, padding=1, bias=False),
+                nn.BatchNorm(stem_ch), nn.Activation("relu"),
+                nn.MaxPool2d(3, 2, 1))
+        else:
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, stem_ch, 7, stride=2, padding=3, bias=False),
+                nn.BatchNorm(stem_ch), nn.Activation("relu"),
+                nn.MaxPool2d(3, 2, 1))
         blocks = []
-        cin = 10
+        cin = stem_ch
         for si in range(4):
-            r = k_r * bw[si] // 64
+            r = k_r * bw[si] // r_div
             for bi in range(k_sec[si]):
                 if bi == 0:
                     btype = "proj" if si == 0 else "down"
@@ -94,6 +103,12 @@ def dpn68(pretrained=False, **kw):
     return DPN(**kw)
 
 
+def dpn107(pretrained=False, **kw):
+    # reference README.md:56 dpn107 (k_R=200, G=50, 4/8/20/3 blocks)
+    return DPN(small=False, k_r=200, groups=50, inc_sec=(20, 64, 64, 128),
+               k_sec=(4, 8, 20, 3), stem_ch=128, **kw)
+
+
 class DLABasic(nn.Module):
     def __init__(self, cin, cout, stride=1):
         self.conv1 = nn.Conv2d(cin, cout, 3, stride=stride, padding=1,
@@ -111,19 +126,44 @@ class DLABasic(nn.Module):
 
 
 class DLARoot(nn.Module):
-    def __init__(self, cin, cout):
+    def __init__(self, cin, cout, residual=False):
         self.conv = nn.Conv2d(cin, cout, 1, bias=False)
         self.bn = nn.BatchNorm(cout)
+        self.residual = residual
 
     def __call__(self, children):
-        # dla34 uses non-residual roots
-        x = self.conv(jnp.concatenate(children, -1))
-        return nn.relu(self.bn(x))
+        # dla34 uses non-residual roots; dla102's add the first child
+        x = self.bn(self.conv(jnp.concatenate(children, -1)))
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class DLABottleneck(nn.Module):
+    """1-3-1 bottleneck (expansion 2) used by the large DLA variants."""
+
+    def __init__(self, cin, cout, stride=1):
+        mid = cout // 2
+        self.conv1 = nn.Conv2d(cin, mid, 1, bias=False)
+        self.bn1 = nn.BatchNorm(mid)
+        self.conv2 = nn.Conv2d(mid, mid, 3, stride=stride, padding=1,
+                               bias=False)
+        self.bn2 = nn.BatchNorm(mid)
+        self.conv3 = nn.Conv2d(mid, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm(cout)
+
+    def __call__(self, x, residual=None):
+        if residual is None:
+            residual = x
+        out = nn.relu(self.bn1(self.conv1(x)))
+        out = nn.relu(self.bn2(self.conv2(out)))
+        return nn.relu(self.bn3(self.conv3(out)) + residual)
 
 
 class DLATree(nn.Module):
     def __init__(self, levels, cin, cout, stride=1, root_dim=0,
-                 level_root=False):
+                 level_root=False, block=None, root_residual=False):
+        block = block or DLABasic
         if root_dim == 0:
             root_dim = 2 * cout
         if level_root:
@@ -131,13 +171,15 @@ class DLATree(nn.Module):
         self.level_root = level_root
         self.levels = levels
         if levels == 1:
-            self.tree1 = DLABasic(cin, cout, stride)
-            self.tree2 = DLABasic(cout, cout)
-            self.root = DLARoot(root_dim, cout)
+            self.tree1 = block(cin, cout, stride)
+            self.tree2 = block(cout, cout)
+            self.root = DLARoot(root_dim, cout, root_residual)
         else:
-            self.tree1 = DLATree(levels - 1, cin, cout, stride)
+            self.tree1 = DLATree(levels - 1, cin, cout, stride,
+                                 block=block, root_residual=root_residual)
             self.tree2 = DLATree(levels - 1, cout, cout,
-                                 root_dim=root_dim + cout)
+                                 root_dim=root_dim + cout, block=block,
+                                 root_residual=root_residual)
             self.root = None
         self.downsample = nn.MaxPool2d(stride, stride) if stride > 1 else None
         self.project = None
@@ -163,7 +205,8 @@ class DLATree(nn.Module):
 class DLA(nn.Module):
     def __init__(self, num_classes=1000,
                  levels=(1, 1, 1, 2, 2, 1),
-                 channels=(16, 32, 64, 128, 256, 512)):
+                 channels=(16, 32, 64, 128, 256, 512),
+                 block=None, root_residual=False):
         self.base = nn.Sequential(
             nn.Conv2d(3, channels[0], 7, padding=3, bias=False),
             nn.BatchNorm(channels[0]), nn.Activation("relu"))
@@ -174,13 +217,14 @@ class DLA(nn.Module):
             nn.Conv2d(channels[0], channels[1], 3, stride=2, padding=1,
                       bias=False),
             nn.BatchNorm(channels[1]), nn.Activation("relu"))
-        self.level2 = DLATree(levels[2], channels[1], channels[2], 2)
+        kw = dict(block=block, root_residual=root_residual)
+        self.level2 = DLATree(levels[2], channels[1], channels[2], 2, **kw)
         self.level3 = DLATree(levels[3], channels[2], channels[3], 2,
-                              level_root=True)
+                              level_root=True, **kw)
         self.level4 = DLATree(levels[4], channels[3], channels[4], 2,
-                              level_root=True)
+                              level_root=True, **kw)
         self.level5 = DLATree(levels[5], channels[4], channels[5], 2,
-                              level_root=True)
+                              level_root=True, **kw)
         self.pool = nn.GlobalAvgPool2d()
         self.fc = nn.Linear(channels[5], num_classes)
 
@@ -192,3 +236,10 @@ class DLA(nn.Module):
 
 def dla34(pretrained=False, **kw):
     return DLA(**kw)
+
+
+def dla102(pretrained=False, **kw):
+    # reference README.md:55 dla102: bottleneck blocks + residual roots
+    return DLA(levels=(1, 1, 1, 3, 4, 1),
+               channels=(16, 32, 128, 256, 512, 1024),
+               block=DLABottleneck, root_residual=True, **kw)

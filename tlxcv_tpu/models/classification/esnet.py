@@ -101,6 +101,10 @@ def esnet_x1_0(pretrained=False, **kw):
     return ESNet(1.0, **kw)
 
 
+def esnet_x0_5(pretrained=False, **kw):
+    return ESNet(0.5, **kw)
+
+
 class LCV2Block(nn.Module):
     def __init__(self, cin, cout, stride, dw_size=3, use_se=False,
                  shortcut=True):

@@ -6,7 +6,8 @@ import jax.numpy as jnp
 
 from ... import nn
 
-__all__ = ["PeleeNet", "peleenet", "HarDNet", "hardnet68"]
+__all__ = ["PeleeNet", "peleenet", "HarDNet", "hardnet68",
+           "hardnet85", "hardnet39", "CombConv"]
 
 
 class ConvBNReLU(nn.Module):
@@ -19,6 +20,20 @@ class ConvBNReLU(nn.Module):
     def __call__(self, x):
         x = self.bn(self.conv(x))
         return nn.relu(x) if self.act else x
+
+
+class CombConv(nn.Module):
+    """Depthwise-separable layer of the HarDNet *_ds variants:
+    1x1 pointwise + 3x3 depthwise."""
+
+    def __init__(self, cin, cout, k=3, stride=1):
+        self.pw = ConvBNReLU(cin, cout, 1)
+        self.dw = nn.Conv2d(cout, cout, k, stride=stride, padding=k // 2,
+                            groups=cout, bias=False)
+        self.dw_bn = nn.BatchNorm(cout)
+
+    def __call__(self, x):
+        return self.dw_bn(self.dw(self.pw(x)))
 
 
 class StemBlock(nn.Module):
@@ -79,7 +94,7 @@ def peleenet(pretrained=False, **kw):
 class HarDBlock(nn.Module):
     """Harmonic dense block: layer k links back 2^j steps."""
 
-    def __init__(self, cin, growth, grmul, n_layers):
+    def __init__(self, cin, growth, grmul, n_layers, depthwise=False):
         self.links = []
         layers = []
         self.out_channels = 0
@@ -93,7 +108,7 @@ class HarDBlock(nn.Module):
             links = sorted({i - 2 ** p for p in range(j + 1)
                             if i - 2 ** p >= 0})
             cin_i = sum(chs[l] for l in links)
-            layers.append(ConvBNReLU(cin_i, ch, 3))
+            layers.append((CombConv if depthwise else ConvBNReLU)(cin_i, ch, 3))
             self.links.append(links)
             chs.append(ch)
             if i == n_layers or i % 2 == 1:
@@ -113,31 +128,35 @@ class HarDBlock(nn.Module):
 
 
 class HarDNet(nn.Module):
-    def __init__(self, num_classes=1000):
-        # hardnet68 config
-        first_ch = (32, 64)
-        ch_list = (128, 256, 320, 640)
-        gr = (14, 16, 20, 40)
-        n_layers = (8, 16, 16, 16)
-        downsample = (1, 0, 1, 1)
-        grmul = 1.7
-        self.stem = nn.Sequential(
-            ConvBNReLU(3, first_ch[0], 3, 2),
-            ConvBNReLU(first_ch[0], first_ch[1], 3),
-            nn.MaxPool2d(3, 2, 1))
+    def __init__(self, num_classes=1000, first_ch=(32, 64),
+                 ch_list=(128, 256, 320, 640), gr=(14, 16, 20, 40),
+                 n_layers=(8, 16, 16, 16), downsample=(1, 0, 1, 1),
+                 grmul=1.7, depthwise=False, drop=0.1):
+        # defaults are the hardnet68 config
+        if depthwise:
+            self.stem = nn.Sequential(
+                ConvBNReLU(3, first_ch[0], 3, 2),
+                CombConv(first_ch[0], first_ch[1], 3, stride=2))
+        else:
+            self.stem = nn.Sequential(
+                ConvBNReLU(3, first_ch[0], 3, 2),
+                ConvBNReLU(first_ch[0], first_ch[1], 3),
+                nn.MaxPool2d(3, 2, 1))
         blocks = []
         cin = first_ch[1]
-        for i in range(4):
-            blk = HarDBlock(cin, gr[i], grmul, n_layers[i])
+        for i in range(len(ch_list)):
+            blk = HarDBlock(cin, gr[i], grmul, n_layers[i],
+                            depthwise=depthwise)
             blocks.append(blk)
             cin = blk.out_channels
             blocks.append(ConvBNReLU(cin, ch_list[i], 1))
             cin = ch_list[i]
             if downsample[i]:
-                blocks.append(nn.MaxPool2d(2, 2))
+                blocks.append(CombConv(cin, cin, 3, stride=2) if depthwise
+                              else nn.MaxPool2d(2, 2))
         self.blocks = blocks
         self.pool = nn.GlobalAvgPool2d()
-        self.drop = nn.Dropout(0.1)
+        self.drop = nn.Dropout(drop)
         self.fc = nn.Linear(cin, num_classes)
 
     def __call__(self, x):
@@ -149,3 +168,18 @@ class HarDNet(nn.Module):
 
 def hardnet68(pretrained=False, **kw):
     return HarDNet(**kw)
+
+
+def hardnet85(pretrained=False, **kw):
+    # reference README.md:63 hardnet85 (5 stages, drop 0.2)
+    return HarDNet(first_ch=(48, 96), ch_list=(192, 256, 320, 480, 720),
+                   gr=(24, 24, 28, 36, 48), n_layers=(8, 16, 16, 16, 16),
+                   downsample=(1, 0, 1, 0, 1), grmul=1.7, drop=0.2, **kw)
+
+
+def hardnet39(pretrained=False, **kw):
+    # reference README.md:62 hardnet39 (depthwise-separable variant)
+    return HarDNet(first_ch=(24, 48), ch_list=(96, 320, 640),
+                   gr=(16, 20, 64), n_layers=(4, 16, 8),
+                   downsample=(1, 1, 0), grmul=1.6, depthwise=True,
+                   drop=0.05, **kw)

@@ -67,7 +67,8 @@ class BottleneckRed(nn.Module):
 
 class RedNet(nn.Module):
     def __init__(self, depth=26, num_classes=1000):
-        counts = {26: (1, 2, 4, 1), 38: (2, 3, 5, 2), 50: (3, 4, 6, 3)}[depth]
+        counts = {26: (1, 2, 4, 1), 38: (2, 3, 5, 2), 50: (3, 4, 6, 3),
+                  101: (3, 4, 23, 3)}[depth]
         self.stem = nn.Sequential(
             nn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False),
             nn.BatchNorm(32), nn.Activation("relu"))
@@ -101,3 +102,7 @@ def rednet26(pretrained=False, **kw):
 
 def rednet50(pretrained=False, **kw):
     return RedNet(50, **kw)
+
+
+def rednet101(pretrained=False, **kw):
+    return RedNet(101, **kw)

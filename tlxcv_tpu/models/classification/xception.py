@@ -53,7 +53,7 @@ class XceptionBlock(nn.Module):
 
 
 class Xception(nn.Module):
-    def __init__(self, num_classes=1000):
+    def __init__(self, num_classes=1000, middle_blocks=8):
         self.stem = nn.Sequential(
             nn.Conv2d(3, 32, 3, stride=2, bias=False), nn.BatchNorm(32),
             nn.Activation("relu"),
@@ -62,7 +62,8 @@ class Xception(nn.Module):
         self.block1 = XceptionBlock(64, 128, 2, 2, start_with_relu=False)
         self.block2 = XceptionBlock(128, 256, 2, 2)
         self.block3 = XceptionBlock(256, 728, 2, 2)
-        self.middle = [XceptionBlock(728, 728, 3) for _ in range(8)]
+        self.middle = [XceptionBlock(728, 728, 3)
+                       for _ in range(middle_blocks)]
         self.block12 = XceptionBlock(728, 1024, 2, 2, grow_first=False)
         self.conv3 = SeparableConv(1024, 1536)
         self.conv4 = SeparableConv(1536, 2048)
@@ -82,6 +83,11 @@ class Xception(nn.Module):
 
 def xception41(pretrained=False, **kw):
     return Xception(**kw)
+
+
+def xception65(pretrained=False, **kw):
+    # 16 middle-flow blocks (reference README.md:89 xception65)
+    return Xception(middle_blocks=16, **kw)
 
 
 xception = xception41

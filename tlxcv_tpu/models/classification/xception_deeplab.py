@@ -13,7 +13,7 @@ class XceptionDeeplab(Module):
     classification (reference xception_deeplab.py) — separable convs with
     stride-1 exit flow."""
 
-    def __init__(self, num_classes=1000):
+    def __init__(self, num_classes=1000, middle_blocks=16):
         from .xception import SeparableConv, XceptionBlock
 
         self.stem = nn.Sequential(
@@ -24,7 +24,8 @@ class XceptionDeeplab(Module):
         self.entry = nn.Sequential(
             XceptionBlock(64, 128, 2, 2, start_with_relu=False),
             XceptionBlock(128, 256, 2, 2), XceptionBlock(256, 728, 2, 2))
-        self.middle = [XceptionBlock(728, 728, 3) for _ in range(16)]
+        self.middle = [XceptionBlock(728, 728, 3)
+                       for _ in range(middle_blocks)]
         self.exit1 = XceptionBlock(728, 1024, 2, 2, grow_first=False)
         self.exit2 = nn.Sequential(SeparableConv(1024, 1536),
                                    nn.Activation("relu"),
@@ -45,3 +46,12 @@ class XceptionDeeplab(Module):
 
 def xception_deeplab(pretrained=False, **kw):
     return XceptionDeeplab(**kw)
+
+
+def xception65_deeplab(pretrained=False, **kw):
+    return XceptionDeeplab(middle_blocks=16, **kw)
+
+
+def xception41_deeplab(pretrained=False, **kw):
+    # 8 middle-flow blocks (reference README.md:90 xception41_deeplab)
+    return XceptionDeeplab(middle_blocks=8, **kw)
