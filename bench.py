@@ -75,7 +75,7 @@ def bench_yolov3():
         (dets, counts), _ = fwd(params, state, x, training=False)
         return dets.sum() + counts.sum()
 
-    batch = 64
+    batch = 128  # batch-scaling probe: b64 left ~30% idle (BENCHMARKS.md)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch, 416, 416, 3)),
         jnp.bfloat16)
@@ -125,7 +125,7 @@ def bench_yolov3_int8():
         (dets, counts), _ = fwd(params, state, x, training=False)
         return dets.sum() + counts.sum()
 
-    batch = 64
+    batch = 128
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch, 416, 416, 3)),
         jnp.bfloat16)
@@ -147,7 +147,7 @@ def bench_mask_rcnn():
         out, _ = fwd(params, state, x, training=False)
         return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out))
 
-    batch = 8
+    batch = 16  # +8% over the historical b8 config (BENCHMARKS.md)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch, 640, 640, 3)),
         jnp.bfloat16)
