@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
+from ...core import init as _I
 from ...core.module import Module, is_training
 
 __all__ = ["CenterNet", "centernet_r50", "gaussian_radius"]
@@ -62,6 +63,7 @@ class _Head(Module):
     def __init__(self, c_in, c_out, bias_val=0.0):
         self.conv = nn.Conv2d(c_in, 64, 3, padding=1)
         self.pred = nn.Conv2d(64, c_out, 1,
+                              w_init=lambda s: _I.normal(s, std=0.01),
                               b_init=lambda s: jnp.full(s, bias_val))
 
     def __call__(self, x):

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
+from ...core import init as _I
 from ...core.module import Module, Param, is_training
 from ...ops import multiclass_nms
 from ...ops.boxes import distance2bbox
@@ -85,17 +86,25 @@ class FCOSHead(Module):
 
                     convs.append(DeformConv2d(in_ch, in_ch))
                 else:
-                    convs.append(nn.Conv2d(in_ch, in_ch, 3, padding=1))
+                    convs.append(nn.Conv2d(
+                        in_ch, in_ch, 3, padding=1,
+                        w_init=lambda s: _I.normal(s, std=0.01)))
                 convs.append(nn.GroupNorm(32, in_ch))
             return convs
 
         self.cls_tower = tower()
         self.reg_tower = tower()
         bias = -math.log((1 - prior_prob) / prior_prob)
+        # detection-head convention: normal(0.01) weights — kaiming
+        # fan_out on 1-4 output channels gives std ~0.5 and saturates
+        # every sigmoid at init (measured: centerness BCE 85 at step 0)
         self.cls_pred = nn.Conv2d(in_ch, num_classes, 3, padding=1,
+                                  w_init=lambda s: _I.normal(s, std=0.01),
                                   b_init=lambda s: jnp.full(s, bias))
-        self.reg_pred = nn.Conv2d(in_ch, 4, 3, padding=1)
-        self.ctr_pred = nn.Conv2d(in_ch, 1, 3, padding=1)
+        self.reg_pred = nn.Conv2d(in_ch, 4, 3, padding=1,
+                                  w_init=lambda s: _I.normal(s, std=0.01))
+        self.ctr_pred = nn.Conv2d(in_ch, 1, 3, padding=1,
+                                  w_init=lambda s: _I.normal(s, std=0.01))
         self.scales = [_Scale() for _ in range(num_levels)]
         self.num_classes = num_classes
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ... import nn
+from ...core import init as _I
 from ...core.module import Module, Param, is_training
 from ...ops import multiclass_nms
 from ...ops.boxes import aligned_iou, bbox2distance, distance2bbox
@@ -55,7 +56,9 @@ class GFLHead(Module):
         def tower():
             convs = []
             for _ in range(num_convs):
-                convs.append(nn.Conv2d(in_ch, in_ch, 3, padding=1))
+                convs.append(nn.Conv2d(
+                    in_ch, in_ch, 3, padding=1,
+                    w_init=lambda s: _I.normal(s, std=0.01)))
                 convs.append(nn.GroupNorm(32, in_ch))
             return convs
 
@@ -63,8 +66,10 @@ class GFLHead(Module):
         self.reg_tower = tower()
         bias = -math.log((1 - prior_prob) / prior_prob)
         self.cls_pred = nn.Conv2d(in_ch, num_classes, 3, padding=1,
+                                  w_init=lambda s: _I.normal(s, std=0.01),
                                   b_init=lambda s: jnp.full(s, bias))
-        self.reg_pred = nn.Conv2d(in_ch, 4 * (reg_max + 1), 3, padding=1)
+        self.reg_pred = nn.Conv2d(in_ch, 4 * (reg_max + 1), 3, padding=1,
+                                  w_init=lambda s: _I.normal(s, std=0.01))
         self.scales = [_Scale() for _ in range(num_levels)]
         self.reg_max = reg_max
         self.num_classes = num_classes

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ... import nn
+from ...core import init as _I
 from ...core.module import Module, is_training
 from ...ops import multiclass_nms
 from ...ops.boxes import aligned_iou, bbox2distance, distance2bbox
@@ -105,6 +106,7 @@ class _PicoHead(Module):
         self.convs = [[_DWConv(ch, ch), _DWConv(ch, ch)]
                       for _ in range(num_levels)]
         self.preds = [nn.Conv2d(ch, out_ch, 1,
+                                w_init=lambda s: _I.normal(s, std=0.01),
                                 b_init=lambda s: jnp.full(s, bias))
                       for _ in range(num_levels)]
         self.num_classes = num_classes

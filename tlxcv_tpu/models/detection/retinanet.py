@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ... import nn
+from ...core import init as _I
 from ...core.module import Module, is_training
 from ...ops import multiclass_nms, pairwise_iou
 from ...ops.boxes import bbox2delta, clip_boxes, delta2bbox
@@ -61,15 +62,17 @@ def _retina_anchors(feat_hws, strides=STRIDES, octave_base_scale=4,
 class RetinaNetHead(Module):
     def __init__(self, in_ch=256, num_classes=80, num_anchors=9,
                  num_convs=4, prior_prob=0.01):
-        self.cls_tower = [nn.Conv2d(in_ch, in_ch, 3, padding=1)
+        winit = lambda s: _I.normal(s, std=0.01)
+        self.cls_tower = [nn.Conv2d(in_ch, in_ch, 3, padding=1, w_init=winit)
                           for _ in range(num_convs)]
-        self.reg_tower = [nn.Conv2d(in_ch, in_ch, 3, padding=1)
+        self.reg_tower = [nn.Conv2d(in_ch, in_ch, 3, padding=1, w_init=winit)
                           for _ in range(num_convs)]
         bias = -math.log((1 - prior_prob) / prior_prob)
         self.cls_pred = nn.Conv2d(in_ch, num_anchors * num_classes, 3,
-                                  padding=1,
+                                  padding=1, w_init=winit,
                                   b_init=lambda s: jnp.full(s, bias))
-        self.reg_pred = nn.Conv2d(in_ch, num_anchors * 4, 3, padding=1)
+        self.reg_pred = nn.Conv2d(in_ch, num_anchors * 4, 3, padding=1,
+                                  w_init=winit)
         self.num_classes = num_classes
         self.num_anchors = num_anchors
 

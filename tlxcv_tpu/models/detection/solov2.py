@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ... import nn
+from ...core import init as _I
 from ...core.module import Module, is_training
 from .mask_rcnn import FPN
 
@@ -57,8 +58,10 @@ class SOLOv2Head(Module):
                 (in_ch + 2) if i == 0 else feat_ch, feat_ch))
         bias = -math.log((1 - prior_prob) / prior_prob)
         self.cate_pred = nn.Conv2d(feat_ch, num_classes, 3, padding=1,
+                                   w_init=lambda s: _I.normal(s, std=0.01),
                                    b_init=lambda s: jnp.full(s, bias))
-        self.kernel_pred = nn.Conv2d(feat_ch, kernel_ch, 3, padding=1)
+        self.kernel_pred = nn.Conv2d(feat_ch, kernel_ch, 3, padding=1,
+                                     w_init=lambda s: _I.normal(s, std=0.01))
         self.num_classes = num_classes
         self.kernel_ch = kernel_ch
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ... import nn
+from ...core import init as _I
 from ...core.module import Module, is_training
 from ...ops import multiclass_nms
 from ...ops.boxes import aligned_iou, distance2bbox
@@ -87,21 +88,27 @@ def _bilinear_sample(feat, xs, ys):
 class TOODHead(Module):
     def __init__(self, in_ch=256, num_classes=80, stacked=6,
                  num_levels=len(STRIDES), prior_prob=0.01):
+        winit = lambda s: _I.normal(s, std=0.01)
         self.inter_convs = []
         for _ in range(stacked):
-            self.inter_convs.append(nn.Conv2d(in_ch, in_ch, 3, padding=1))
+            self.inter_convs.append(nn.Conv2d(in_ch, in_ch, 3, padding=1,
+                                              w_init=winit))
             self.inter_convs.append(nn.GroupNorm(32, in_ch))
         self.cls_decomp = TaskDecomposition(in_ch, stacked)
         self.reg_decomp = TaskDecomposition(in_ch, stacked)
         bias = -math.log((1 - prior_prob) / prior_prob)
         self.cls_pred = nn.Conv2d(in_ch, num_classes, 3, padding=1,
+                                  w_init=winit,
                                   b_init=lambda s: jnp.full(s, bias))
-        self.reg_pred = nn.Conv2d(in_ch, 4, 3, padding=1)
+        self.reg_pred = nn.Conv2d(in_ch, 4, 3, padding=1, w_init=winit)
         # alignment: per-pixel cls probability + per-side reg offsets
-        self.cls_prob_conv1 = nn.Conv2d(stacked * in_ch, in_ch // 4, 1)
+        self.cls_prob_conv1 = nn.Conv2d(stacked * in_ch, in_ch // 4, 1,
+                                        w_init=winit)
         self.cls_prob_conv2 = nn.Conv2d(in_ch // 4, 1, 3, padding=1,
+                                        w_init=winit,
                                         b_init=lambda s: jnp.full(s, bias))
-        self.reg_offset_conv1 = nn.Conv2d(stacked * in_ch, in_ch // 4, 1)
+        self.reg_offset_conv1 = nn.Conv2d(stacked * in_ch, in_ch // 4, 1,
+                                          w_init=winit)
         self.reg_offset_conv2 = nn.Conv2d(in_ch // 4, 4 * 2, 3, padding=1,
                                           b_init=lambda s: jnp.zeros(s))
         self.scales = [_Scale() for _ in range(num_levels)]

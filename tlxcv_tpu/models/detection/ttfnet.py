@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
+from ...core import init as _I
 from ...core.module import Module, is_training
 from ...ops.boxes import aligned_iou
 
@@ -47,6 +48,7 @@ class _Head(Module):
     def __init__(self, c_in, mid, c_out, bias_val=0.0):
         self.conv = nn.Conv2d(c_in, mid, 3, padding=1)
         self.pred = nn.Conv2d(mid, c_out, 1,
+                              w_init=lambda s: _I.normal(s, std=0.01),
                               b_init=lambda s: jnp.full(s, bias_val))
 
     def __call__(self, x):

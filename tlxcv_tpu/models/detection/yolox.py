@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
+from ...core import init as _I
 from ...core.module import Module, is_training
 from ...ops import multiclass_nms, pairwise_iou
 
@@ -170,10 +171,13 @@ class YOLOXHead(Module):
         self.reg_convs = [[ConvBN(feat_ch, feat_ch, 3),
                            ConvBN(feat_ch, feat_ch, 3)]
                           for _ in in_channels]
-        self.cls_preds = [nn.Conv2d(feat_ch, num_classes, 1)
+        winit = lambda s: _I.normal(s, std=0.01)
+        self.cls_preds = [nn.Conv2d(feat_ch, num_classes, 1, w_init=winit)
                           for _ in in_channels]
-        self.reg_preds = [nn.Conv2d(feat_ch, 4, 1) for _ in in_channels]
-        self.obj_preds = [nn.Conv2d(feat_ch, 1, 1) for _ in in_channels]
+        self.reg_preds = [nn.Conv2d(feat_ch, 4, 1, w_init=winit)
+                          for _ in in_channels]
+        self.obj_preds = [nn.Conv2d(feat_ch, 1, 1, w_init=winit)
+                          for _ in in_channels]
         self.num_classes = num_classes
 
     def __call__(self, feats):
