@@ -29,9 +29,15 @@ def heatmap_mse_loss(output, target, target_weight=None):
 
 class PoseHighResolutionNet(nn.Module):
     def __init__(self, num_joints=17, width=32, backbone: HRNet = None):
+        from ...core import init as _I
+
         self.backbone = backbone if backbone is not None else hrnet_w32()
+        # MMPose final-layer convention: normal(0.001) — kaiming fan_out
+        # on a num_joints-channel 1x1 conv gives std ~0.6 and a huge
+        # initial heatmap MSE (BENCHMARKS.md head-init note)
         self.final_layer = nn.Conv2d(self.backbone.branch_channels[0],
-                                     num_joints, 1)
+                                     num_joints, 1,
+                                     w_init=lambda s: _I.normal(s, std=0.001))
         self.num_joints = num_joints
 
     def __call__(self, x):
