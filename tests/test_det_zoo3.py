@@ -97,6 +97,23 @@ def test_simota_static_shapes_and_assignment():
     assert np.asarray(best_gt)[0] == 0
 
 
+def test_simota_zero_candidate_gt_selects_nothing():
+    """A valid GT with no (in_box|in_center) candidate points must mark
+    NO foreground (advisor r2: the rank-threshold used to pick an
+    arbitrary far-away point through the 1e5 cost inflation)."""
+    from tlxcv_tpu.models.detection.yolox import simota_assign
+
+    points = jnp.asarray([[8.0, 8.0], [40.0, 40.0]])
+    strides = jnp.asarray([8.0, 8.0])
+    boxes = jnp.asarray([[4, 4, 12, 12], [36, 36, 44, 44]], jnp.float32)
+    cls_prob = jnp.full((2, 2), 0.5)
+    obj_prob = jnp.full((2,), 0.5)
+    gt = jnp.asarray([[500, 500, 510, 510]], jnp.float32)  # off-grid
+    _, fg = simota_assign(boxes, cls_prob, obj_prob, points, strides,
+                          gt, jnp.asarray([0]), jnp.asarray([1.0]), 2)
+    assert np.asarray(fg).sum() == 0
+
+
 def test_gfl_learns(rng):
     from tlxcv_tpu.models.detection import GFL
 

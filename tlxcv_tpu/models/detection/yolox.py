@@ -243,7 +243,11 @@ def simota_assign(boxes, cls_prob, obj_prob, points, strides, gt_boxes,
     # fixed top-`topk` list
     neg_cost, cand_idx = jax.lax.top_k(-cost, topk)      # [M, topk]
     ranks = jnp.arange(topk)[None, :]
-    chosen = (ranks < dyn_k[:, None]) & valid[0][:, None]  # [M, topk]
+    # a GT with zero (in_box|in_center) candidates must select nothing:
+    # non-candidates carry the 1e5 cost inflation, so require the picked
+    # entries to be true candidates (cost < 1e4) before foreground-marking
+    chosen = ((ranks < dyn_k[:, None]) & valid[0][:, None]
+              & (-neg_cost < 1e4))                        # [M, topk]
     # scatter into [M, P] selection matrix
     sel = jnp.zeros(cost.shape, bool)
     sel = jax.vmap(lambda s, idx, ch: s.at[idx].set(ch))(

@@ -152,6 +152,30 @@ def jpeg_available() -> bool:
     return _load_jpeg() is not None
 
 
+def _jpeg_dims(data: bytes):
+    """(height, width) from the SOFn header, or None if unparseable.
+
+    Lets decode_jpeg allocate exactly H*W*3 instead of a fixed 192 MB
+    worst-case buffer per call (advisor r2).
+    """
+    i, n = 2, len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = (data[i + 2] << 8) | data[i + 3]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = (data[i + 5] << 8) | data[i + 6]
+            w = (data[i + 7] << 8) | data[i + 8]
+            return h, w
+        i += 2 + seg_len
+    return None
+
+
 def decode_jpeg(data: bytes, max_hw=(8192, 8192)) -> np.ndarray:
     """Decode one JPEG -> [H, W, 3] uint8 RGB (native libjpeg; PIL
     fallback)."""
@@ -162,7 +186,9 @@ def decode_jpeg(data: bytes, max_hw=(8192, 8192)) -> np.ndarray:
 
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     buf = np.frombuffer(data, np.uint8)
-    cap = max_hw[0] * max_hw[1] * 3
+    dims = _jpeg_dims(data)
+    cap = (dims[0] * dims[1] * 3 if dims is not None
+           else max_hw[0] * max_hw[1] * 3)
     out = np.empty(cap, np.uint8)
     h = ctypes.c_int()
     w = ctypes.c_int()
@@ -170,6 +196,14 @@ def decode_jpeg(data: bytes, max_hw=(8192, 8192)) -> np.ndarray:
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         ctypes.byref(h), ctypes.byref(w))
+    if rc == 2 and dims is not None:
+        # header parse under-estimated (shouldn't happen) — worst-case retry
+        cap = max_hw[0] * max_hw[1] * 3
+        out = np.empty(cap, np.uint8)
+        rc = lib.decode_jpeg(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            ctypes.byref(h), ctypes.byref(w))
     if rc != 0:
         raise ValueError(f"JPEG decode failed (rc={rc})")
     return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()

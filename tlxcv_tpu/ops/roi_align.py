@@ -6,6 +6,15 @@ matching torchvision.ops.roi_align with aligned=False).
 Implementation: for each RoI output cell, `sampling_ratio`^2 bilinear
 samples averaged — expressed as four gathers + weights over the feature
 map, fully vectorized (no loops), so XLA maps it onto gathers + VPU math.
+
+NOTE on defaults: these ops default to `sampling_ratio=2` (the
+torchvision convention), but `MaskRCNN` passes `sampling_ratio=1` for
+both branches by default — TPU gathers at these row widths are
+volume-bound (~40 GB/s, BENCHMARKS.md) and sr=1 halves the fetched
+bytes for a 1.9x end-to-end win with no reference weights to stay
+numerically faithful to.  Anything loading reference-pretrained
+weights should construct `MaskRCNN(box_sampling_ratio=2,
+mask_sampling_ratio=2)` to restore exact torchvision semantics.
 """
 from __future__ import annotations
 

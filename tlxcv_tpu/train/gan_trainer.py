@@ -161,11 +161,19 @@ class GANTrainer:
         return self.val_results
 
     def generate(self, batch_or_noise):
-        fwd = pure(self.network)
-        out, _ = fwd({**self.params_g, **self.params_d}, self.state,
-                     jnp.asarray(batch_or_noise),
-                     rngs=Rngs(noise=self._next_key()))
-        return out
+        # Build the pure generator forward ONCE and jit it: generate() is
+        # called per validation batch, and rebuilding pure(...) each call
+        # would re-trace the full generator every time (advisor r2).
+        if not hasattr(self, "_gen_jit"):
+            fwd = pure(self.network)
+
+            def run(params, state, x, key):
+                out, _ = fwd(params, state, x, rngs=Rngs(noise=key))
+                return out
+
+            self._gen_jit = jax.jit(run)
+        return self._gen_jit({**self.params_g, **self.params_d}, self.state,
+                             jnp.asarray(batch_or_noise), self._next_key())
 
     def _sync_to_network(self):
         merged = {**self.params_g, **self.params_d, **self.state}

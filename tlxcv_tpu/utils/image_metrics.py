@@ -25,10 +25,21 @@ import numpy as np
 __all__ = ["psnr", "ssim", "to_y_channel"]
 
 
-def _to_255(img):
+def _to_255(img, input_range=None):
+    """Map onto the 0..255 scale.
+
+    input_range: None (infer from THIS tensor's min/max), "01", "pm1"
+    ([-1, 1] GAN convention) or "255" (pass through).  Callers scoring a
+    pred/target pair must derive one range from the *target* and apply
+    it to both (see `_prep`) so the two are never scaled inconsistently.
+    """
     img = jnp.asarray(img, jnp.float32)
-    # Data in [0,1] or [-1,1] (GAN convention) is mapped onto 0..255;
-    # anything already beyond unit range passes through untouched.
+    if input_range == "01":
+        return img * 255.0
+    if input_range == "pm1":
+        return (img + 1.0) * 127.5
+    if input_range == "255":
+        return img
     lo, hi = img.min(), img.max()
     unit = (hi <= 1.0 + 1e-6) & (lo >= -1.0 - 1e-6)
     scaled = jnp.where(lo < -1e-6, (img + 1.0) * 127.5, img * 255.0)
@@ -41,8 +52,23 @@ def to_y_channel(img255):
     return (img255 / 255.0) @ w + 16.0
 
 
-def _prep(a, b, crop_border, test_y_channel):
-    a, b = _to_255(a), _to_255(b)
+def _prep(a, b, crop_border, test_y_channel, input_range=None):
+    if input_range is None:
+        # Infer ONE mapping from the target and apply it to both, so a
+        # [-1,1]-convention pred batch that happens to be all
+        # non-negative still gets the same scaling as its target.
+        b = jnp.asarray(b, jnp.float32)
+        lo, hi = b.min(), b.max()
+        unit = (hi <= 1.0 + 1e-6) & (lo >= -1.0 - 1e-6)
+        signed = lo < -1e-6
+
+        def scale(x):
+            x = jnp.asarray(x, jnp.float32)
+            s = jnp.where(signed, (x + 1.0) * 127.5, x * 255.0)
+            return jnp.where(unit, s, x)
+        a, b = scale(a), scale(b)
+    else:
+        a, b = _to_255(a, input_range), _to_255(b, input_range)
     if a.ndim == 3:
         a, b = a[None], b[None]
     if test_y_channel and a.shape[-1] == 3:
@@ -53,10 +79,17 @@ def _prep(a, b, crop_border, test_y_channel):
     return a, b
 
 
-@partial(jax.jit, static_argnames=("crop_border", "test_y_channel"))
-def psnr(pred, target, crop_border: int = 0, test_y_channel: bool = False):
-    """Per-image PSNR (dB) on the 0..255 scale; returns [N]."""
-    a, b = _prep(pred, target, crop_border, test_y_channel)
+@partial(jax.jit, static_argnames=("crop_border", "test_y_channel",
+                                   "input_range"))
+def psnr(pred, target, crop_border: int = 0, test_y_channel: bool = False,
+         input_range: str | None = None):
+    """Per-image PSNR (dB) on the 0..255 scale; returns [N].
+
+    input_range: "01" / "pm1" / "255" to state the convention
+    explicitly; None infers it once from `target` and applies the same
+    mapping to both tensors.
+    """
+    a, b = _prep(pred, target, crop_border, test_y_channel, input_range)
     mse = jnp.mean((a - b) ** 2, axis=(1, 2, 3))
     # Identical images -> inf.  The threshold sits far above XLA's
     # half-ulp rewrite noise (~1e-11 on the 0..255 scale) and far below
@@ -82,10 +115,12 @@ def _filter2(img, win):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
 
 
-@partial(jax.jit, static_argnames=("crop_border", "test_y_channel"))
-def ssim(pred, target, crop_border: int = 0, test_y_channel: bool = False):
+@partial(jax.jit, static_argnames=("crop_border", "test_y_channel",
+                                   "input_range"))
+def ssim(pred, target, crop_border: int = 0, test_y_channel: bool = False,
+         input_range: str | None = None):
     """Per-image mean SSIM (channel-averaged); returns [N]."""
-    a, b = _prep(pred, target, crop_border, test_y_channel)
+    a, b = _prep(pred, target, crop_border, test_y_channel, input_range)
     win = _gaussian_window()
     c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
     mu_a, mu_b = _filter2(a, win), _filter2(b, win)
