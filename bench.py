@@ -22,22 +22,39 @@ import numpy as np
 RESNET_TARGET = 2 * 4500.0
 YOLO_TARGET = 2 * 600.0
 
+# FLOPs per image for MFU accounting (2 x MACs at the bench resolutions)
+RESNET_FLOPS = 8.2e9       # ResNet-50 @ 224^2
+YOLO_FLOPS = 65.9e9        # YOLOv3 @ 416^2 (backbone+FPN+head)
+V5E_BF16_PEAK = 197e12     # TPU v5e per-chip bf16 peak FLOP/s
+V5E_INT8_PEAK = 394e12
+
 
 def _bf16(params):
     return {k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v)
             for k, v in params.items()}
 
 
-def _throughput(step, args, batch, n_iters=20):
+def _throughput(step, args, batch, n_iters=20, warmup=3, reps=5):
     """Fetch-forced timing: on the axon relay block_until_ready()
     returns before the device finishes, so a host fetch is the honest
-    pipeline drain (utils/profiler.benchmark_fn)."""
-    float(step(*args))  # warmup / compile
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step(*args)
-    float(out)
-    return batch * n_iters / (time.perf_counter() - t0)
+    pipeline drain (utils/profiler.benchmark_fn).
+
+    VERDICT r2 weak #5 (14% run-to-run wobble): `warmup` extra
+    fetch-timed calls after compile let clocks/caches settle, then the
+    reported number is the MEDIAN of `reps` independent rounds of
+    `n_iters` chained steps."""
+    float(step(*args))  # compile
+    for _ in range(warmup):
+        float(step(*args))
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = step(*args)
+        float(out)
+        rates.append(batch * n_iters / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 def bench_resnet50():
@@ -165,12 +182,20 @@ def main():
         "value": round(resnet_ips, 2),
         "unit": "img/s",
         "vs_baseline": round(resnet_ips / RESNET_TARGET, 4),
+        "resnet50_tflops": round(resnet_ips * RESNET_FLOPS / 1e12, 1),
+        "resnet50_mfu_pct": round(
+            100 * resnet_ips * RESNET_FLOPS / V5E_BF16_PEAK, 1),
         "yolov3_metric": "yolov3_416_e2e_infer_images_per_sec_per_chip",
         "yolov3_value": round(yolo_ips, 2),
         "yolov3_unit": "img/s",
         "yolov3_vs_baseline": round(yolo_ips / YOLO_TARGET, 4),
+        "yolov3_tflops": round(yolo_ips * YOLO_FLOPS / 1e12, 1),
+        "yolov3_mfu_pct": round(
+            100 * yolo_ips * YOLO_FLOPS / V5E_BF16_PEAK, 1),
         "resnet50_int8_value": round(resnet_int8, 2),
         "resnet50_int8_vs_baseline": round(resnet_int8 / RESNET_TARGET, 4),
+        "resnet50_int8_mfu_pct": round(
+            100 * resnet_int8 * RESNET_FLOPS / V5E_INT8_PEAK, 1),
         "yolov3_int8_value": round(yolo_int8, 2),
         "yolov3_int8_vs_baseline": round(yolo_int8 / YOLO_TARGET, 4),
         "mask_rcnn_640_value": round(mrcnn_ips, 2),

@@ -9,11 +9,18 @@ the GT roll.  PFLD is trained from scratch and scored with the task NME metric
 NME loop end to end, the analog of the detection and pose
 accuracy_check demos.
 
-Training uses a plain L2 objective: the reference pfld_loss weights the
-landmark term by the euler-angle error (its hard-sample trick), which
-collapses to ~zero here because the synthetic roll is learned almost
-exactly — a property of the fixture, not the model (the weighted loss
-has its own unit tests).
+Training uses the wing loss for the landmark term (the facial-landmark
+standard; r2's plain-L2 run plateaued at NME 0.0844 because the L2
+gradient vanishes exactly where fine localization happens) plus a small
+L2 pose-head term: the reference pfld_loss's euler-angle weighting (its
+hard-sample trick) collapses to ~zero here because the synthetic roll
+is learned almost exactly — a property of the fixture, not the model
+(the weighted loss has its own unit tests).  The reference recipe's
+augmentation pipeline (mirror-indexed flip, rotate, occlude — reference
+demo/facial_landmark_detection/transform.py:102-135) is wired in via
+the public data/landmark_transforms.py classes.
+
+Bar: NME (inter-ocular) <= 0.06 on held-out faces (VERDICT r2 item 4).
 
 Run: python demo/facial_landmark_detection/accuracy_check.py
 
@@ -31,10 +38,14 @@ import numpy as np
 import optax
 
 from tlxcv_tpu.core import pure, split
+from tlxcv_tpu.data.landmark_transforms import (RandomHorizontalFlip,
+                                                RandomOcclude, RandomRotate)
 from tlxcv_tpu.models.facial_landmark_detection.pfld import PFLD
+from tlxcv_tpu.ops.losses import wing_loss
 from tlxcv_tpu.tasks.facial_landmark_detection import NME
 
 SIZE = 112
+NME_BAR = 0.06
 
 
 def _template():
@@ -78,7 +89,29 @@ def _draw_line(img, p, q):
     img[ys[ok], xs[ok]] = 1.0
 
 
-def sample(rng, n):
+class _NpRandom:
+    """random-module facade over a numpy Generator (for the transforms)."""
+
+    def __init__(self, rng):
+        self._rng = rng
+
+    def random(self):
+        return float(self._rng.uniform())
+
+    def choice(self, seq):
+        return seq[int(self._rng.integers(0, len(seq)))]
+
+    def randint(self, a, b):
+        return int(self._rng.integers(a, b + 1))
+
+
+def _augment_pipeline(rng):
+    r = _NpRandom(rng)
+    return [RandomHorizontalFlip(rng=r), RandomRotate(range(-8, 9), rng=r),
+            RandomOcclude((24, 24), rng=r)]
+
+
+def sample(rng, n, augments=None):
     imgs = np.asarray(rng.uniform(0, 0.2, size=(n, SIZE, SIZE, 3)),
                       np.float32)
     lms = np.zeros((n, 68, 2), np.float32)
@@ -98,28 +131,44 @@ def sample(rng, n):
                 _draw_line(imgs[i, :, :, 0], pts[a], pts[b])
         imgs[i, :, :, 1] = imgs[i, :, :, 0] * color
         imgs[i, :, :, 2] = imgs[i, :, :, 0] * (1 - color)
+        roll = np.degrees(rot)
+        if augments:
+            # reference-recipe augmentation (flip w/ mirror permutation,
+            # rotate, occlude).  The GT roll is left as rendered — the
+            # aux pose term carries weight 0.01 and the small (<=8 deg)
+            # augment rotations are noise the head averages out.
+            img, label = imgs[i], {"landmark": pts}
+            for t in augments:
+                img, label = t((img, label))
+            imgs[i] = img
+            pts = np.asarray(label["landmark"], np.float32)
         lms[i] = pts / SIZE                    # normalized [0, 1]
-        rolls[i] = np.degrees(rot)
+        rolls[i] = roll
     eulers = np.stack([np.zeros_like(rolls), np.zeros_like(rolls), rolls],
                       -1)
     return imgs, lms.reshape(n, -1), eulers
 
 
-def main():
+def main(steps=5000):
     model = PFLD(num_landmarks=68)
     params, state = split(model)
-    def plain_l2(m, x, lm, eu):
+
+    def objective(m, x, lm, eu):
         landmarks, features = m(x)
         angle = m.auxiliarynet(features)
         ang_loss = jnp.mean(jnp.sum((angle - eu) ** 2, -1))
         b = landmarks.shape[0]
-        lm_loss = jnp.mean(jnp.sum(
-            (landmarks.reshape(b, -1) - lm.reshape(b, -1)) ** 2, -1))
+        # wing loss in normalized-coordinate units (w/eps are the
+        # standard 10px/2px scaled by 1/SIZE)
+        lm_loss = wing_loss(landmarks.reshape(b, -1), lm.reshape(b, -1),
+                            w=10.0 / SIZE, epsilon=2.0 / SIZE,
+                            reduction="none")
+        lm_loss = jnp.mean(jnp.sum(lm_loss, -1))
         return lm_loss + 0.01 * ang_loss
 
-    lp = pure(model, plain_l2)
+    lp = pure(model, objective)
     fwd = pure(model)
-    tx = optax.adam(optax.cosine_decay_schedule(1e-3, 4000, 1e-2))
+    tx = optax.adam(optax.cosine_decay_schedule(1e-3, steps, 1e-2))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -133,9 +182,10 @@ def main():
         return optax.apply_updates(params, u), state, opt_state, loss
 
     rng = np.random.default_rng(0)
+    augments = _augment_pipeline(rng)
     t0 = time.time()
-    for it in range(4000):
-        x, lm, eu = sample(rng, 32)
+    for it in range(steps):
+        x, lm, eu = sample(rng, 32, augments=augments)
         params, state, opt_state, loss = step(
             params, state, opt_state, jnp.asarray(x), jnp.asarray(lm),
             jnp.asarray(eu))
@@ -151,10 +201,13 @@ def main():
     nme = NME(num_points=68)
     vrng = np.random.default_rng(999)
     for _ in range(4):
-        x, lm, _ = sample(vrng, 32)
+        x, lm, _ = sample(vrng, 32)     # held-out, no augmentation
         pred = predict(params, state, jnp.asarray(x))
         nme.update(np.asarray(pred, np.float32), lm)
-    print(f"NME (inter-ocular) = {nme.result():.4f}")
+    print(f"NME (inter-ocular) = {nme.result():.4f} "
+          f"({time.time()-t0:.0f}s)")
+    assert nme.result() <= NME_BAR, (nme.result(), NME_BAR)
+    return nme.result()
 
 
 if __name__ == "__main__":

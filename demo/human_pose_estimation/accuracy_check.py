@@ -30,8 +30,9 @@ from tlxcv_tpu.core import pure, split
 from tlxcv_tpu.models.backbones.hrnet import hrnet_w18_small_v1
 from tlxcv_tpu.models.human_pose_estimation.hrnet import \
     PoseHighResolutionNet
-from tlxcv_tpu.tasks.human_pose_estimation import (PCK,
+from tlxcv_tpu.tasks.human_pose_estimation import (PCK, get_max_preds,
                                                    generate_heatmap_target)
+from tlxcv_tpu.utils.coco_eval import compute_coco_stats
 
 SIZE = 128
 J = 5
@@ -92,7 +93,12 @@ def main():
         out, _ = fwd(params, state, x, training=False)
         return out
 
+    # PCK (task metric) + OKS keypoint AP (COCO protocol — the metric
+    # the reference reports via COCOeval(iouType="keypoints"), reference
+    # tlxcv/tasks/human_pose_estimation.py:208-216) on the same run.
     pck = PCK(threshold=0.05)
+    sigmas = np.full(J, 0.05, np.float32)
+    oks_preds, oks_gts = [], []
     vrng = np.random.default_rng(12345)
     for _ in range(4):
         x, kps = sample(vrng, 16)
@@ -101,7 +107,27 @@ def main():
             jnp.asarray(kps), input_size=(SIZE, SIZE),
             heatmap_size=(SIZE // 4, SIZE // 4))
         pck.update(np.asarray(hm, np.float32), np.asarray(tgt, np.float32))
+        # decode heatmap argmax -> image-space keypoints for OKS-AP
+        pred_xy, maxvals = get_max_preds(np.asarray(hm, np.float32))
+        pred_xy = pred_xy * 4.0  # heatmap stride
+        for i in range(len(x)):
+            pk = np.concatenate([pred_xy[i], maxvals[i][:, None]],
+                                -1)[None]  # [1, J, 3]
+            oks_preds.append({
+                "boxes": np.asarray([[0, 0, SIZE, SIZE]], np.float32),
+                "scores": np.asarray([float(maxvals[i].mean())], np.float32),
+                "labels": np.asarray([1]), "keypoints": pk})
+            oks_gts.append({
+                "boxes": np.asarray([[0, 0, SIZE, SIZE]], np.float32),
+                "labels": np.asarray([1]), "keypoints": kps[i][None],
+                "area": np.asarray([float(SIZE * SIZE)])})
     print(f"PCK@0.05 = {pck.result():.4f}")
+    oks = compute_coco_stats(oks_preds, oks_gts, iou_type="keypoints",
+                             kpt_sigmas=sigmas)
+    print(f"OKS-AP@[.50:.95] = {oks['map']:.4f}  OKS-AP50 = "
+          f"{oks['map50']:.4f}  OKS-AP75 = {oks['stats'][2]:.4f}")
+    assert pck.result() >= 0.95, "PCK bar"
+    assert oks["map"] >= 0.80, "OKS-AP bar"
 
 
 if __name__ == "__main__":

@@ -23,12 +23,14 @@ class ShapesDetection(VisionDataset):
     num_classes = 3
 
     def __init__(self, num=1000, size=128, max_objects=3, seed=0,
-                 transforms=None, transform=None, target_transform=None):
+                 return_masks=False, transforms=None, transform=None,
+                 target_transform=None):
         super().__init__(None, transforms, transform, target_transform)
         self.num = num
         self.size = size
         self.max_objects = max_objects
         self.seed = seed
+        self.return_masks = return_masks
 
     def __len__(self):
         return self.num
@@ -40,7 +42,7 @@ class ShapesDetection(VisionDataset):
         gx = np.linspace(0, 1, s, dtype=np.float32)
         img += 0.15 * gx[None, :, None] * rng.uniform(0, 1, size=3)
         n_obj = int(rng.integers(1, self.max_objects + 1))
-        boxes, labels = [], []
+        boxes, labels, masks = [], [], []
         yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
         for _ in range(n_obj):
             cls = int(rng.integers(0, 3))
@@ -64,8 +66,17 @@ class ShapesDetection(VisionDataset):
             img[m] = color
             boxes.append([x1, y1, x2, y2])
             labels.append(cls)
-        return img, {"boxes": np.asarray(boxes, np.float32),
-                     "class_labels": np.asarray(labels, np.int64)}
+            masks.append(m)
+        # later shapes paint over earlier ones: keep only the visible
+        # pixels of each instance so the GT masks match the rendering
+        for i in range(n_obj - 1):
+            for j in range(i + 1, n_obj):
+                masks[i] = masks[i] & ~masks[j]
+        target = {"boxes": np.asarray(boxes, np.float32),
+                  "class_labels": np.asarray(labels, np.int64)}
+        if self.return_masks:
+            target["masks"] = np.stack(masks)
+        return img, target
 
     def __getitem__(self, index):
         rng = np.random.default_rng((self.seed, index))

@@ -14,7 +14,7 @@ import optax
 __all__ = [
     "softmax_cross_entropy", "cross_entropy", "binary_cross_entropy",
     "sigmoid_focal_loss", "varifocal_loss", "dice_loss", "smooth_l1_loss",
-    "l1_loss", "mse_loss", "giou_loss",
+    "l1_loss", "mse_loss", "giou_loss", "wing_loss",
 ]
 
 
@@ -85,6 +85,17 @@ def l1_loss(pred, target, reduction="mean"):
 
 def mse_loss(pred, target, reduction="mean"):
     return _reduce((pred - target) ** 2, reduction)
+
+
+def wing_loss(pred, target, w=10.0, epsilon=2.0, reduction="mean"):
+    """Wing loss (Feng et al., CVPR'18) — the facial-landmark standard:
+    logarithmic inside |x| < w so small localization errors keep a large
+    gradient (plain L2 stalls there — r2's PFLD NME plateau), linear
+    outside.  C makes the pieces continuous."""
+    diff = jnp.abs(pred - target)
+    c = w - w * jnp.log(1.0 + w / epsilon)
+    loss = jnp.where(diff < w, w * jnp.log(1.0 + diff / epsilon), diff - c)
+    return _reduce(loss, reduction)
 
 
 def giou_loss(pred_boxes, target_boxes, reduction="mean"):
