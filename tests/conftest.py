@@ -23,6 +23,29 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: oracle-battery / multi-minute tests "
+        "(deselect with -m 'not slow' for the quick inner loop)")
+
+
+# Whole modules that dominate suite wall-time (the torch-oracle parity
+# battery + end-to-end training loops).  `pytest -m 'not slow'` gives a
+# quick regression tier; the full suite stays the nightly bar
+# (VERDICT r2 weak #7).
+_SLOW_MODULES = ("test_parity_zoo", "test_parity_resnet", "test_parity_ssd",
+                 "test_parity_detr", "test_end_to_end", "test_det_zoo",
+                 "test_detection_training", "test_mask_rcnn",
+                 "test_distillation", "test_fid", "test_pose_landmark")
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        name = os.path.basename(str(item.fspath))
+        if name.startswith(_SLOW_MODULES):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -107,3 +107,47 @@ def test_upsample_add_routing(rng):
         np.testing.assert_allclose(
             np.asarray(upsample_add(x, skip, mode=mode)), np.asarray(ref),
             atol=1e-5)
+
+
+def test_flash_attention_interpret_matches_xla(rng):
+    """2D-blocked flash attention (ops/pallas/attention.py): interpret
+    mode must match the XLA two-einsum composition bit-tight, across
+    padding regimes (S not multiple of block, D < 128, nb packing,
+    bias)."""
+    from tlxcv_tpu.nn.attention import scaled_dot_product_attention
+    from tlxcv_tpu.ops.pallas.attention import flash_attention
+
+    for (bh, s, d, nb) in [(4, 197, 64, 1), (6, 197, 64, 3),
+                           (8, 49, 32, 4)]:
+        q = jnp.asarray(rng.normal(size=(bh, s, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(bh, s, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(bh, s, d)), jnp.float32)
+        ref = scaled_dot_product_attention(q, k, v)
+        out = flash_attention(q, k, v, nb=nb, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+        bias = jnp.asarray(rng.normal(size=(bh, s, s)), jnp.float32)
+        ref_b = scaled_dot_product_attention(q, k, v, mask=bias)
+        out_b = flash_attention(q, k, v, bias=bias, nb=nb, interpret=True)
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                                   atol=2e-5)
+
+
+def test_sdpa_use_flash_wiring(rng, monkeypatch):
+    """scaled_dot_product_attention(use_flash=True) routes through the
+    Pallas kernel and matches the XLA path ([B, H, S, D] + mask)."""
+    import tlxcv_tpu.ops.pallas.attention as PA
+    from tlxcv_tpu import nn
+
+    orig = PA.flash_attention
+    monkeypatch.setattr(PA, "flash_attention",
+                        lambda *a, **kw: orig(*a, **{**kw,
+                                                     "interpret": True}))
+    q = jnp.asarray(rng.normal(size=(2, 3, 60, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 3, 60, 32)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 3, 60, 32)), jnp.float32)
+    mask = jnp.asarray(rng.normal(size=(1, 1, 60, 60)), jnp.float32)
+    from tlxcv_tpu.nn.attention import scaled_dot_product_attention
+    ref = scaled_dot_product_attention(q, k, v, mask=mask)
+    out = scaled_dot_product_attention(q, k, v, mask=mask, use_flash=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)

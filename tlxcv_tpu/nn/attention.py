@@ -17,14 +17,54 @@ from ..core import init as I
 from ..core.module import Module, Param
 from .layers import Dropout, Linear
 
-__all__ = ["scaled_dot_product_attention", "MultiHeadAttention", "Attention"]
+__all__ = ["scaled_dot_product_attention", "MultiHeadAttention", "Attention",
+           "use_flash_attention"]
+
+# Opt-in Pallas flash-attention path (ops/pallas/attention.py).  Measured
+# verdict (BENCHMARKS.md, r3): WINS at ViT-B shapes (nb-packed 2D-blocked
+# kernel, ~1.4x over the XLA two-einsum composition) but LOSES at Swin's
+# 49-token windows, so the default stays XLA; flip globally with
+# use_flash_attention(True) or per-call with use_flash=True.
+_FLASH_DEFAULT = False
 
 
-def scaled_dot_product_attention(q, k, v, mask=None, scale=None):
+def use_flash_attention(enabled: bool = True):
+    global _FLASH_DEFAULT
+    _FLASH_DEFAULT = bool(enabled)
+
+
+def _flash_sdpa(q, k, v, mask, scale):
+    from ..ops.pallas.attention import flash_attention
+
+    lead = q.shape[:-2]
+    s, d = q.shape[-2:]
+    bh = 1
+    for n in lead:
+        bh *= n
+    qf, kf, vf = (t.reshape(bh, t.shape[-2], d) for t in (q, k, v))
+    bias = None
+    if mask is not None:
+        bias = jnp.broadcast_to(mask, (*lead, s, k.shape[-2]))
+        bias = bias.reshape(bh, s, k.shape[-2])
+    # nb=16/(256,256) is the probed sweet spot at CV sequence lengths
+    nb = max(1, min(16, bh))
+    while bh % nb:
+        nb -= 1
+    out = flash_attention(qf, kf, vf, bias=bias, scale=scale,
+                          block_q=256, block_k=256, nb=nb)
+    return out.reshape(*lead, s, d).astype(v.dtype)
+
+
+def scaled_dot_product_attention(q, k, v, mask=None, scale=None,
+                                 use_flash=None):
     """q,k,v: [..., heads, seq, head_dim]. mask broadcastable to
     [..., heads, q_len, k_len] (additive, -inf for disallowed)."""
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
+    if use_flash is None:
+        use_flash = _FLASH_DEFAULT
+    if use_flash:
+        return _flash_sdpa(q, k, v, mask, scale)
     attn = jnp.einsum("...qd,...kd->...qk", q * scale, k,
                       preferred_element_type=jnp.float32)
     if mask is not None:
