@@ -1,0 +1,43 @@
+"""CI gate over the hermetic detection-zoo accuracy sweep.
+
+The sweep itself (demo/object_detection/accuracy_sweep.py) trains each
+detector on the ShapesDetection fixture ON TPU (~minutes/model) and
+records per-model COCO mAP to sweep_results.json; these tests gate the
+committed results against the per-model floors so a regression in any
+head/assigner that slips past the fast loss-decrease tests still fails
+CI the moment the sweep is re-run (VERDICT r2: the head-init saturation
+pathology was invisible to loss-decrease tests).
+"""
+import json
+import os
+
+import pytest
+
+from demo.object_detection.accuracy_sweep import REGISTRY
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "demo", "object_detection",
+    "sweep_results.json")
+
+
+def test_registry_covers_claimed_one_stage_zoo():
+    # reference README.md:112-126 claims these complete; every one must
+    # have a sweep entry with a real floor
+    for name in ("fcos", "retinanet", "gfl", "tood", "yolox_s", "picodet",
+                 "ppyoloe_s", "centernet", "ttfnet"):
+        assert name in REGISTRY
+        build, steps, lr, floor = REGISTRY[name]
+        assert 0.3 <= floor <= 0.95
+        assert steps >= 1000
+
+
+@pytest.mark.skipif(not os.path.exists(RESULTS),
+                    reason="sweep not yet run on this checkout")
+def test_recorded_sweep_results_clear_floors():
+    with open(RESULTS) as f:
+        results = {r["model"]: r for r in json.load(f)}
+    for name, r in results.items():
+        assert "error" not in r, (name, r)
+        assert r["map"] >= r["floor"], (name, r["map"], r["floor"])
+        # floors must match the registry (no silently lowered bars)
+        assert r["floor"] == REGISTRY[name][3]

@@ -190,15 +190,18 @@ class GFL(Module):
         qfl = (jnp.abs(t - sig) ** 2 * bce).sum(-1)
         qfl_loss = qfl.sum() / norm
 
-        # distance targets in bin units
-        t_dist = bbox2distance(centers[None], t_boxes,
-                               max_dis=float(self.reg_max),
-                               eps=0.1) / strides[None, :, None]
+        # distance targets in BIN units: divide by stride FIRST, then
+        # clamp to the distribution's support.  (r3 sweep regression:
+        # clamping via bbox2distance(max_dis=reg_max) capped targets at
+        # 16 *pixels* before the stride division, truncating every box
+        # arm longer than 16 px — fixture mAP 0.39 instead of ~0.85.)
+        t_dist = bbox2distance(centers[None], t_boxes) \
+            / strides[None, :, None]
         t_dist = jnp.clip(t_dist, 0.0, self.reg_max - 0.1)
 
-        # GIoU on positives, weighted by quality
-        giou = 1.0 - aligned_iou(pred_boxes, distance2bbox(
-            centers[None], t_dist * strides[None, :, None]), mode="giou")
+        # GIoU on positives, weighted by quality — against the TRUE
+        # assigned boxes, not boxes re-derived from clipped targets
+        giou = 1.0 - aligned_iou(pred_boxes, t_boxes, mode="giou")
         w = jnp.where(pos, quality, 0.0)
         giou_loss = (giou * w).sum() / norm
 

@@ -212,8 +212,10 @@ class PicoDet(Module):
         giou_loss = (giou * w).sum() / jnp.maximum(w.sum(), 1e-6)
 
         st = jnp.asarray(strides)[None, :, None]
-        t_dist = bbox2distance(jnp.asarray(points)[None], t_boxes,
-                               max_dis=float(self.reg_max), eps=0.1) / st
+        # bin-unit targets: stride division FIRST, then clamp to the
+        # distribution support (same r3 fix as gfl.py — a pixel-space
+        # max_dis=reg_max clamp truncated every arm beyond 16 px)
+        t_dist = bbox2distance(jnp.asarray(points)[None], t_boxes) / st
         t_dist = jnp.clip(t_dist, 0.0, self.reg_max - 0.1)
         logits = dist.reshape(dist.shape[:-1] + (4, self.reg_max + 1))
         logp = jax.nn.log_softmax(logits, -1)
