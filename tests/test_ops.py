@@ -255,3 +255,34 @@ def test_ssd_prior_box_structure():
         boxes[0, 0, 3], [(25 - s) / 100, (25 - s) / 100,
                          (25 + s) / 100, (25 + s) / 100], atol=1e-5)
     np.testing.assert_allclose(var[0, 0, 0], [0.1, 0.1, 0.2, 0.2])
+
+
+def test_wing_loss_piecewise_values():
+    """wing(x) = w*ln(1+|x|/eps) inside |x|<w, |x|-C outside, C chosen
+    for continuity (Feng et al. CVPR'18)."""
+    import numpy as np
+    from tlxcv_tpu.ops.losses import wing_loss
+
+    w, eps = 10.0, 2.0
+    c = w - w * np.log(1 + w / eps)
+    # inside the log region
+    x = jnp.asarray([0.0, 1.0, 5.0])
+    out = np.asarray(wing_loss(x, jnp.zeros(3), w=w, epsilon=eps,
+                               reduction="none"))
+    np.testing.assert_allclose(out, w * np.log1p(np.asarray(x) / eps),
+                               rtol=1e-6)
+    # outside: linear with offset C
+    out2 = float(wing_loss(jnp.asarray([25.0]), jnp.zeros(1), w=w,
+                           epsilon=eps, reduction="none")[0])
+    assert abs(out2 - (25.0 - c)) < 1e-5
+    # continuity at |x| = w
+    lo = float(wing_loss(jnp.asarray([w - 1e-4]), jnp.zeros(1), w=w,
+                         epsilon=eps, reduction="none")[0])
+    hi = float(wing_loss(jnp.asarray([w + 1e-4]), jnp.zeros(1), w=w,
+                         epsilon=eps, reduction="none")[0])
+    assert abs(lo - hi) < 1e-3
+    # gradient near zero is ~w/eps (not ~0 like L2) — the reason it
+    # fixes the PFLD fine-localization stall
+    g = jax.grad(lambda p: wing_loss(p, jnp.zeros(1), w=w, epsilon=eps))(
+        jnp.asarray([0.01]))
+    assert float(g[0]) > 1.0
