@@ -177,3 +177,36 @@ def test_registry_builds_wave4():
                  "fcos_dcn_r50"):
         m = create_model(name, num_classes=3)
         assert m.num_classes == 3
+
+
+def test_ttfnet_targets_have_positive_pixels():
+    """Every valid GT must stamp at least one exact-1.0 heatmap pixel
+    (r3 sweep regression: the continuous gaussian peaked between grid
+    pixels, so `pos = hm_t >= 1-1e-4` selected nothing and the heatmap
+    trained with zero positive supervision — loss fell, mAP 0.01)."""
+    from tlxcv_tpu.models.detection import TTFNet
+
+    m = TTFNet(num_classes=3, backbone=_tiny_ttf_backbone())
+    gt_boxes = jnp.asarray([[[10., 10., 50., 50.],
+                             [70., 30., 110., 90.], [0, 0, 0, 0]]])
+    hm_t, box_t, wgt = m._targets(
+        gt_boxes, jnp.asarray([[0, 2, 0]]), jnp.asarray([[1., 1., 0.]]),
+        (32, 32))
+    pos = np.asarray(hm_t >= 1 - 1e-4)
+    assert pos[..., 0].sum() >= 1 and pos[..., 2].sum() >= 1
+    assert pos[..., 1].sum() == 0
+    ys, xs, _ = np.where(pos[0])
+    assert any(abs(y - 7) <= 1 and abs(x - 7) <= 1 for y, x in zip(ys, xs))
+
+
+def _tiny_ttf_backbone():
+    class _R18:
+        def __init__(self):
+            from tlxcv_tpu.models.classification.resnet import ResNet
+
+            self.net = ResNet(depth=18, num_classes=0, with_pool=False)
+            self.out_channels = tuple(self.net.feat_channels[1:])
+
+        def __call__(self, x):
+            return tuple(self.net.features(x)[1:])
+    return _R18()

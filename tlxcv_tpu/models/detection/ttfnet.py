@@ -139,6 +139,13 @@ class TTFNet(Module):
             gy = jnp.arange(h, dtype=jnp.float32)[:, None, None]
             g = jnp.exp(-(((gx - cx[None, None]) ** 2 / (2 * sx ** 2))
                           + ((gy - cy[None, None]) ** 2 / (2 * sy ** 2))))
+            # normalize each GT's gaussian to peak EXACTLY 1 on the
+            # grid: the analytic peak sits at the continuous center, so
+            # the nearest pixel's value can be well below 1 for small
+            # boxes and `pos = hm_t >= 1-1e-4` would select NOTHING —
+            # the heatmap then trains with zero positive supervision
+            # (r3 sweep: loss fell to 0.16 with fixture mAP 0.012).
+            g = g / jnp.maximum(g.max((0, 1), keepdims=True), 1e-6)
             g = jnp.where(valid[None, None] > 0, g, 0.0)      # [H, W, M]
             onehot = jax.nn.one_hot(labels, self.num_classes)
             hm_t = jnp.einsum("hwm,mc->hwmc", g, onehot).max(2)
