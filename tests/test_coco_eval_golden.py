@@ -317,3 +317,23 @@ def test_multi_type_evaluator_facade():
     assert stats["bbox"]["map"] == pytest.approx(1.0)
     assert stats["segm"]["map"] == pytest.approx(1.0)
     assert len(stats["bbox"]["stats"]) == 12
+
+
+def test_segm_zero_detection_image():
+    """An image with zero detections must not crash the segm path
+    (numpy reshape(0, -1) pitfall) and counts its GT as a miss."""
+    m = np.zeros((64, 64), bool); m[0:10, 0:10] = True
+    gt = [{"boxes": np.array([[0, 0, 10, 10]], np.float32),
+           "labels": np.array([1]), "masks": m[None]},
+          {"boxes": np.array([[0, 0, 10, 10]], np.float32),
+           "labels": np.array([1]), "masks": m[None]}]
+    pred = [{"boxes": np.zeros((0, 4), np.float32),
+             "labels": np.zeros((0,), np.int64),
+             "scores": np.zeros((0,), np.float32),
+             "masks": np.zeros((0, 64, 64), bool)},
+            {"boxes": np.array([[0, 0, 10, 10]], np.float32),
+             "labels": np.array([1]), "scores": np.array([0.9]),
+             "masks": m[None]}]
+    s = compute_coco_stats(pred, gt, iou_type="segm")
+    # 1 of 2 GTs found at precision 1 -> AP = 51/101
+    assert s["map"] == pytest.approx(51 / 101)

@@ -73,10 +73,19 @@ def _bbox_iou(det, gt, iscrowd):
     return inter / np.maximum(union, 1e-9)
 
 
+def _flat_masks(m):
+    """[N, H, W] -> [N, H*W] bool; safe for N == 0 (reshape(0, -1) is a
+    numpy error)."""
+    m = np.asarray(m)
+    n = len(m)
+    return m.reshape(n, int(np.prod(m.shape[1:], dtype=np.int64))
+                     if m.ndim > 1 else 0).astype(bool)
+
+
 def _mask_iou(det_m, gt_m, iscrowd):
     """Mask IoU on binary [N, H, W] arrays; crowd uses inter/det_area."""
-    d = det_m.reshape(len(det_m), -1).astype(bool)
-    g = gt_m.reshape(len(gt_m), -1).astype(bool)
+    d = _flat_masks(det_m)
+    g = _flat_masks(gt_m)
     inter = (d[:, None, :] & g[None, :, :]).sum(-1).astype(np.float64)
     da = d.sum(-1).astype(np.float64)[:, None]
     ga = g.sum(-1).astype(np.float64)[None, :]
@@ -155,8 +164,8 @@ def _prepare_image(pred, gt, iou_type, kpt_sigmas):
         pm = (np.zeros((len(p_boxes), 1, 1), bool) if pm is None
               else (pm > 0.5))
         if g_area is None:
-            g_area = gm.reshape(len(gm), -1).sum(-1).astype(np.float64)
-        p_area = pm.reshape(len(pm), -1).sum(-1).astype(np.float64)
+            g_area = _flat_masks(gm).sum(-1).astype(np.float64)
+        p_area = _flat_masks(pm).sum(-1).astype(np.float64)
         ious = _mask_iou(pm, gm, crowd) if len(pm) and len(gm) else \
             np.zeros((len(p_boxes), len(g_boxes)))
     elif iou_type == "keypoints":
