@@ -73,10 +73,18 @@ def batcher(ds, idxs):
              "masks": jnp.asarray(np.stack(gmasks))})
 
 
-def _train(model, steps, lr, log_tag):
+def _train(model, steps, lr, log_tag, warmup=0):
+    """warmup matters for SOLOv2: at full lr from step 0 the dice loss
+    drives every mask sigmoid into the all-zero dead zone within ~20
+    steps (pred mass -> 0, gradients vanish, dice pinned at ~0.93 —
+    measured) while a fixed batch overfits fine; the official SOLOv2
+    recipe's 500-iter lr warmup exists for exactly this."""
     params, state = split(model)
     lp = pure(model, lambda m, v, t: m.loss_fn(m(v), t))
-    sched = optax.cosine_decay_schedule(lr, steps)
+    if warmup:
+        sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps)
+    else:
+        sched = optax.cosine_decay_schedule(lr, steps)
     tx = optax.adam(sched)
     opt_state = tx.init(params)
     train = ShapesDetection(num=4096, size=SIZE, seed=0, return_masks=True)
@@ -159,7 +167,7 @@ def run_solov2(steps=2500):
 
     model = SOLOv2(num_classes=NC, backbone=_r18(), pre_top_k=64,
                    keep_top_k=16, max_pos=32, score_threshold=0.05)
-    params, state, t0 = _train(model, steps, 1e-3, "solov2")
+    params, state, t0 = _train(model, steps, 1e-3, "solov2", warmup=500)
     fwd = pure(model)
 
     @jax.jit

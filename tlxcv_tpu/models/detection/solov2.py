@@ -232,6 +232,10 @@ class SOLOv2(Module):
         return jnp.concatenate(assigned), jnp.concatenate(cates, 0)
 
     def loss_fn(self, outputs, targets):
+        parts = self.loss_parts(outputs, targets)
+        return parts["cate"] + 3.0 * parts["dice"]
+
+    def loss_parts(self, outputs, targets):
         """targets: boxes [B,M,4] xyxy pixels, class_labels [B,M],
         masks [B,M,H,W] binary instance masks, optional mask [B,M]."""
         gt_boxes = targets["boxes"].astype(jnp.float32)
@@ -286,7 +290,7 @@ class SOLOv2(Module):
         dsum, dcnt = jax.vmap(per_image)(assigned, kern_pred, mfeat,
                                          small_masks)
         dice_loss = dsum.sum() / jnp.maximum(dcnt.sum(), 1.0)
-        return cate_loss + 3.0 * dice_loss
+        return {"cate": cate_loss, "dice": dice_loss}
 
 
 def solov2_r50(num_classes=80, **kwargs):
