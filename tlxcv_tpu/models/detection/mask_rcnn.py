@@ -50,9 +50,16 @@ class FPN(Module):
 
 class RPNHead(Module):
     def __init__(self, in_ch=256, num_anchors=3):
-        self.conv = nn.Conv2d(in_ch, in_ch, 3, padding=1)
-        self.objectness = nn.Conv2d(in_ch, num_anchors, 1)
-        self.deltas = nn.Conv2d(in_ch, num_anchors * 4, 1)
+        # torchvision RPNHead convention: normal(0.01) on every conv —
+        # the default kaiming fan_out on the few-output-channel
+        # prediction convs (3 / 12 channels) gives weight std ~0.8 and
+        # saturates the objectness sigmoids at init (the r2 pathology;
+        # this head was missed in that sweep — caught by the r3
+        # instance-seg accuracy bar: loss 219 at step 0, mAP 0.0).
+        n01 = lambda s: I.normal(s, std=0.01)
+        self.conv = nn.Conv2d(in_ch, in_ch, 3, padding=1, w_init=n01)
+        self.objectness = nn.Conv2d(in_ch, num_anchors, 1, w_init=n01)
+        self.deltas = nn.Conv2d(in_ch, num_anchors * 4, 1, w_init=n01)
 
     def __call__(self, feats):
         logits, deltas = [], []
@@ -98,7 +105,10 @@ class MaskHead(Module):
         self.convs = [nn.Conv2d(in_ch, in_ch, 3, padding=1)
                       for _ in range(4)]
         self.deconv = nn.ConvTranspose2d(in_ch, in_ch, 2, stride=2)
-        self.pred = nn.Conv2d(in_ch, num_classes, 1)
+        # final per-class mask logits: few output channels -> kaiming
+        # fan_out saturates the sigmoids at init (see RPNHead note)
+        self.pred = nn.Conv2d(in_ch, num_classes, 1,
+                              w_init=lambda s: I.normal(s, std=0.001))
 
     def __call__(self, x):
         """x [N, R, S, S, C] -> [N, R, 2S, 2S, num_classes]."""
@@ -207,17 +217,20 @@ class MaskRCNN(Module):
     def __call__(self, images):
         feats, rpn_logits, rpn_deltas, anchors, props, pmask = \
             self.forward_features(images)
+        if is_training():
+            # the ROI heads run inside loss_fn on GT-augmented proposals
+            # (torchvision semantics: GT boxes join the training
+            # proposal set so the box/mask heads see clean positives
+            # from step 0 — essential for from-scratch convergence)
+            return {"feats": feats, "rpn_logits": rpn_logits,
+                    "rpn_deltas": rpn_deltas, "anchors": anchors,
+                    "proposals": props, "proposal_mask": pmask,
+                    "image_hw": images.shape[1:3]}
         pooled = _multilevel_roi_align(feats, props, self.box_roi_size,
                                        self.box_sampling_ratio)
         hidden = self.box_head(pooled)
         cls_logits = self.cls_score(hidden)     # [N, R, C+1]
         box_deltas = self.bbox_pred(hidden)     # [N, R, 4]
-        if is_training():
-            return {"feats": feats, "rpn_logits": rpn_logits,
-                    "rpn_deltas": rpn_deltas, "anchors": anchors,
-                    "proposals": props, "proposal_mask": pmask,
-                    "cls_logits": cls_logits, "box_deltas": box_deltas,
-                    "image_hw": images.shape[1:3]}
         return self._postprocess(feats, props, pmask, cls_logits, box_deltas,
                                  images.shape[1:3])
 
@@ -299,22 +312,55 @@ class MaskRCNN(Module):
         obj_labels = pos.astype(jnp.float32)
         from ...ops.losses import binary_cross_entropy, smooth_l1_loss
 
-        sample = (pos | neg).astype(jnp.float32)
-        rpn_cls = binary_cross_entropy(rpn_logits, obj_labels,
-                                       reduction="none")
-        rpn_cls = jnp.sum(rpn_cls * sample) / jnp.maximum(sample.sum(), 1.0)
+        # Balanced pos/neg normalization: the anchor set is ~16k with a
+        # handful of positives; a flat mean buries the positive signal
+        # 1:1000 and the objectness ranking never sharpens (measured on
+        # the ShapesDetection bar: mAP 0.14 after 2500 steps).  Equal
+        # pos/neg means replicate torchvision's 256-anchor 1:1 sampler
+        # in expectation, with static shapes.
+        posf = pos.astype(jnp.float32)
+        negf = neg.astype(jnp.float32)
+        rpn_ce = binary_cross_entropy(rpn_logits, obj_labels,
+                                      reduction="none")
+        rpn_cls = 0.5 * (
+            jnp.sum(rpn_ce * posf) / jnp.maximum(posf.sum(), 1.0)
+            + jnp.sum(rpn_ce * negf) / jnp.maximum(negf.sum(), 1.0))
 
         matched = jnp.take_along_axis(gt_boxes, best_gt[..., None], 1)
         t_delta = bbox2delta(jnp.broadcast_to(anchors, (b,) + anchors.shape),
                              matched)
         rpn_reg = smooth_l1_loss(rpn_deltas, jax.lax.stop_gradient(t_delta),
                                  reduction="none").sum(-1)
-        posf = pos.astype(jnp.float32)
         rpn_reg = jnp.sum(rpn_reg * posf) / jnp.maximum(posf.sum(), 1.0)
 
-        # ---- box head matching: proposals vs gt at IoU 0.5
+        # ---- GT-augmented proposals (training only): the last M slots
+        # carry the GT boxes so the box/mask heads always have perfect
+        # positives regardless of RPN quality (torchvision
+        # RegionProposalNetwork + RoIHeads do the same by concatenation;
+        # here static-shape by slot replacement).
         props = outputs["proposals"]
         pmask = outputs["proposal_mask"].astype(jnp.float32)
+        m = gt_boxes.shape[1]
+        r_total = props.shape[1]
+        if m < r_total:
+            tail = jnp.arange(r_total) >= (r_total - m)      # [R]
+            gt_slot = jnp.concatenate(
+                [jnp.zeros((b, r_total - m, 4), props.dtype),
+                 gt_boxes.astype(props.dtype)], 1)
+            gv_slot = jnp.concatenate(
+                [jnp.zeros((b, r_total - m)), gt_valid.astype(jnp.float32)],
+                1)
+            use_gt = tail[None, :] & (gv_slot > 0)
+            props = jnp.where(use_gt[..., None], gt_slot, props)
+            pmask = jnp.maximum(pmask, use_gt.astype(jnp.float32))
+        pooled = _multilevel_roi_align(outputs["feats"], props,
+                                       self.box_roi_size,
+                                       self.box_sampling_ratio)
+        hidden = self.box_head(pooled)
+        cls_logits = self.cls_score(hidden)           # [B, R, C+1]
+        box_deltas = self.bbox_pred(hidden)           # [B, R, 4]
+
+        # ---- box head matching: proposals vs gt at IoU 0.5
         piou = pairwise_iou(gt_boxes, props)          # [B, M, R]
         piou = jnp.where(gt_valid[..., None] > 0, piou, -1.0)
         p_best_gt = jnp.argmax(piou, axis=1)
@@ -336,16 +382,21 @@ class MaskRCNN(Module):
         t_label = jnp.take_along_axis(gt_labels, p_best_gt, 1)
         t_label = jnp.where(fg, t_label, self.num_classes)  # background
 
-        logp = jax.nn.log_softmax(outputs["cls_logits"], -1)
+        logp = jax.nn.log_softmax(cls_logits, -1)
         ce = -jnp.take_along_axis(logp, t_label[..., None], -1)[..., 0]
-        box_cls = jnp.sum(ce * pmask) / jnp.maximum(pmask.sum(), 1.0)
+        # fg/bg balance at the torchvision RoIHeads sampling ratio (25%
+        # positives in expectation), static-shape via group means
+        fgw = fg.astype(jnp.float32) * pmask
+        bgw = (1.0 - fg.astype(jnp.float32)) * pmask
+        box_cls = (0.25 * jnp.sum(ce * fgw) / jnp.maximum(fgw.sum(), 1.0)
+                   + 0.75 * jnp.sum(ce * bgw) / jnp.maximum(bgw.sum(), 1.0))
 
         p_matched = jnp.take_along_axis(gt_boxes, p_best_gt[..., None], 1)
         safe_props = jnp.where(
             (props[..., 2:] > props[..., :2]).all(-1, keepdims=True),
             props, props + jnp.asarray([0, 0, 1, 1], props.dtype))
         t_bdelta = bbox2delta(safe_props, p_matched)
-        breg = smooth_l1_loss(outputs["box_deltas"],
+        breg = smooth_l1_loss(box_deltas,
                               jax.lax.stop_gradient(t_bdelta),
                               reduction="none").sum(-1)
         fgf = fg.astype(jnp.float32)
