@@ -162,7 +162,7 @@ def test_multiclass_nms_reference_semantics(rng):
 @pytest.mark.parametrize("mode,align", [
     ("bilinear", False), ("bilinear", True), ("nearest", False),
 ])
-@pytest.mark.parametrize("size", [(14, 14), (7, 9), (28, 30)])
+@pytest.mark.parametrize("size", [(14, 14), (7, 9), (28, 30), (52, 60)])
 def test_interpolate_matches_torch(rng, mode, align, size):
     x = rng.normal(size=(2, 4, 13, 15)).astype(np.float32)
     kwargs = {} if mode == "nearest" else {"align_corners": align}

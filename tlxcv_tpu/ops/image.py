@@ -94,6 +94,16 @@ def interpolate(x, size=None, scale_factor=None, mode="bilinear",
         from .pallas.upsample import upsample2x_matmul
 
         return upsample2x_matmul(x)
+    if (fast_path and mode == "bilinear" and not align_corners
+            and x.ndim == 4 and oh > x.shape[1] and ow > x.shape[2]
+            and oh % x.shape[1] == 0 and ow % x.shape[2] == 0
+            and x.dtype in (jnp.float32, jnp.bfloat16)):
+        # integer >=2x upscale (HRNet FuseLayers 4x/8x, seg-head final
+        # 4x): same separable static-matrix MXU composition as the 2x
+        # fast path; torch-parity covered by test_interpolate_matches_torch
+        from .pallas.upsample import upsample_matmul
+
+        return upsample_matmul(x, oh, ow, mode="bilinear")
     if mode in ("nearest",):
         x = _resize_axis_nearest(x, oh, 1)
         x = _resize_axis_nearest(x, ow, 2)
