@@ -80,7 +80,7 @@ def sample(rng, tok, n):
     return (np.stack(imgs), np.asarray(labels, np.int32), texts)
 
 
-def main(steps=1500):
+def main(steps=6000):
     tok = CharTokenizer()
     model = TrOCR(vocab_size=tok.vocab_size, encoder_dim=128,
                   encoder_depth=3, encoder_heads=4, decoder_dim=128,
@@ -89,7 +89,13 @@ def main(steps=1500):
     params, state = split(model)
     lp = pure(model, lambda m, x, y: m.loss_fn(x, y))
     gen = pure(model, lambda m, x: m.generate(x))
-    sched = optax.cosine_decay_schedule(3e-4, steps)
+    # From-scratch encoder-decoder OCR has a characteristic slow-start
+    # curve: per-token CE plateaus ~1.5 while cross-attention finds the
+    # image<->token alignment, then collapses (CPU diagnostic: CER
+    # 0.79@400 -> 0.15@1200 on a LEN=3 variant).  The r3 first attempt
+    # (1500 steps, no warmup, cosine to zero) decayed the lr away right
+    # at the transition — hence warmup + a 6000-step horizon.
+    sched = optax.warmup_cosine_decay_schedule(0.0, 5e-4, 300, steps)
     tx = optax.adamw(sched, weight_decay=1e-4)
     opt_state = tx.init(params)
 
