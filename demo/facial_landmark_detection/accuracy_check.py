@@ -149,54 +149,103 @@ def sample(rng, n, augments=None):
     return imgs, lms.reshape(n, -1), eulers
 
 
-def main(steps=5000):
+def main(steps_l2=3000, steps_wing=3000):
+    """Two-phase recipe (the r3 lesson, see BENCHMARKS.md):
+
+    A single-phase wing-loss run at lr 1e-3 trains to ~1px error in
+    BATCH-stats mode but explodes in eval mode (NME 13.8): wing's
+    non-vanishing gradients keep the weights drifting, the BN running
+    stats lag a consistently growing activation scale at EVERY one of
+    the ~60 serial BN layers, and the per-layer mismatch compounds
+    exponentially through the stack (measured eval/train rms ratio
+    1.33 at bn1 -> 4.8 by conv6_1).  Plain L2 does not have this
+    failure (its gradients vanish near convergence, weights settle,
+    stats catch up — r2 measured eval NME 0.0844) but stalls there for
+    the same reason.  So: phase 1 trains L2 to a stable 0.08-ish basin;
+    phase 2 fine-tunes with wing at 10x lower lr (drift small enough
+    for the EMA to track) to recover fine localization.
+    """
     model = PFLD(num_landmarks=68)
     params, state = split(model)
 
-    def objective(m, x, lm, eu):
-        landmarks, features = m(x)
-        angle = m.auxiliarynet(features)
-        ang_loss = jnp.mean(jnp.sum((angle - eu) ** 2, -1))
-        b = landmarks.shape[0]
-        # wing loss in normalized-coordinate units (w/eps are the
-        # standard 10px/2px scaled by 1/SIZE)
-        lm_loss = wing_loss(landmarks.reshape(b, -1), lm.reshape(b, -1),
-                            w=10.0 / SIZE, epsilon=2.0 / SIZE,
-                            reduction="none")
-        lm_loss = jnp.mean(jnp.sum(lm_loss, -1))
-        return lm_loss + 0.01 * ang_loss
+    def make_objective(use_wing):
+        def objective(m, x, lm, eu):
+            landmarks, features = m(x)
+            angle = m.auxiliarynet(features)
+            ang_loss = jnp.mean(jnp.sum((angle - eu) ** 2, -1))
+            b = landmarks.shape[0]
+            if use_wing:
+                # wing loss in normalized-coordinate units (w/eps are
+                # the standard 10px/2px scaled by 1/SIZE)
+                lm_loss = wing_loss(landmarks.reshape(b, -1),
+                                    lm.reshape(b, -1), w=10.0 / SIZE,
+                                    epsilon=2.0 / SIZE, reduction="none")
+                lm_loss = jnp.mean(jnp.sum(lm_loss, -1))
+            else:
+                lm_loss = jnp.mean(jnp.sum(
+                    (landmarks.reshape(b, -1) - lm) ** 2, -1))
+            return lm_loss + 0.01 * ang_loss
+        return objective
 
-    lp = pure(model, objective)
     fwd = pure(model)
-    tx = optax.adam(optax.cosine_decay_schedule(1e-3, steps, 1e-2))
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, state, opt_state, x, lm, eu):
-        def lf(p):
-            loss, ns = lp(p, state, x, lm, eu, training=True)
-            return loss, ns
-
-        (loss, state), g = jax.value_and_grad(lf, has_aux=True)(params)
-        u, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(params, u), state, opt_state, loss
-
-    rng = np.random.default_rng(0)
-    augments = _augment_pipeline(rng)
-    t0 = time.time()
-    for it in range(steps):
-        x, lm, eu = sample(rng, 32, augments=augments)
-        params, state, opt_state, loss = step(
-            params, state, opt_state, jnp.asarray(x), jnp.asarray(lm),
-            jnp.asarray(eu))
-        if it % 250 == 0:
-            print(f"it {it} loss {float(loss):.4f} ({time.time()-t0:.0f}s)",
-                  flush=True)
 
     @jax.jit
     def predict(params, state, x):
         (lm, _), _ = fwd(params, state, x, training=False)
         return lm
+
+    def eval_nme(params, state):
+        m_ = NME(num_points=68)
+        vrng = np.random.default_rng(999)
+        for _ in range(2):
+            x, lm, _ = sample(vrng, 32)
+            m_.update(np.asarray(predict(params, state, jnp.asarray(x)),
+                                 np.float32), lm)
+        return m_.result()
+
+    rng = np.random.default_rng(0)
+    augments = _augment_pipeline(rng)
+    t0 = time.time()
+
+    def phase(name, params, state, use_wing, steps, lr):
+        lp = pure(model, make_objective(use_wing))
+        tx = optax.adam(optax.cosine_decay_schedule(lr, steps, 1e-2))
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, state, opt_state, x, lm, eu):
+            def lf(p):
+                loss, ns = lp(p, state, x, lm, eu, training=True)
+                return loss, ns
+
+            (loss, state), g = jax.value_and_grad(lf, has_aux=True)(params)
+            u, opt_state = tx.update(g, opt_state)
+            return optax.apply_updates(params, u), state, opt_state, loss
+
+        for it in range(steps):
+            x, lm, eu = sample(rng, 32, augments=augments)
+            params, state, opt_state, loss = step(
+                params, state, opt_state, jnp.asarray(x), jnp.asarray(lm),
+                jnp.asarray(eu))
+            if it % 500 == 0:
+                print(f"[{name}] it {it} loss {float(loss):.4f} "
+                      f"eval-NME {eval_nme(params, state):.4f} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+        return params, state
+
+    params, state = phase("l2", params, state, False, steps_l2, 1e-3)
+    params, state = phase("wing", params, state, True, steps_wing, 1e-4)
+
+    # Wing's non-vanishing gradients keep weights drifting at any
+    # useful lr, so the BN running stats always lag at the end of the
+    # phase; re-estimate them exactly with frozen weights (SWA
+    # update_bn idiom, train/bn_recal.py) before scoring.
+    from tlxcv_tpu.train.bn_recal import recalibrate_batch_stats
+
+    recal = [jnp.asarray(sample(rng, 32)[0]) for _ in range(40)]
+    state = recalibrate_batch_stats(model, params, state, recal)
+    print(f"post-recal eval-NME {eval_nme(params, state):.4f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
 
     nme = NME(num_points=68)
     vrng = np.random.default_rng(999)
