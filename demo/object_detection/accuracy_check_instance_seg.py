@@ -162,7 +162,7 @@ def run_maskrcnn(steps=2500):
                      and bbox["map"] >= FLOORS["maskrcnn"]["bbox"])}
 
 
-def run_solov2(steps=2500):
+def run_solov2(steps=4000):
     from tlxcv_tpu.models.detection import SOLOv2
 
     model = SOLOv2(num_classes=NC, backbone=_r18(), pre_top_k=64,
@@ -215,12 +215,15 @@ def main(names):
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "instance_seg_results.json")
     results = []
+    if os.path.exists(out_path):  # merge per-model runs by name
+        with open(out_path) as f:
+            results = [r for r in json.load(f) if r["model"] not in names]
     for name in names:
         print(f"== {name} ==", flush=True)
         r = run_maskrcnn() if name == "maskrcnn" else run_solov2()
-        results.append(r)
+        results = [x for x in results if x["model"] != name] + [r]
         with open(out_path, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(sorted(results, key=lambda x: x["model"]), f, indent=1)
     bad = [r["model"] for r in results if not r["pass"]]
     if bad:
         raise SystemExit(f"below floor: {bad}")
