@@ -25,6 +25,7 @@ YOLO_TARGET = 2 * 600.0
 # FLOPs per image for MFU accounting (2 x MACs at the bench resolutions)
 RESNET_FLOPS = 8.2e9       # ResNet-50 @ 224^2
 YOLO_FLOPS = 65.9e9        # YOLOv3 @ 416^2 (backbone+FPN+head)
+VIT_FLOPS = 35.1e9         # ViT-B/16 @ 224^2 (2 x 17.56 GMAC)
 V5E_BF16_PEAK = 197e12     # TPU v5e per-chip bf16 peak FLOP/s
 V5E_INT8_PEAK = 394e12
 
@@ -171,12 +172,65 @@ def bench_mask_rcnn():
     return _throughput(infer, (_bf16(params), state, x), batch, n_iters=10)
 
 
+def bench_vit():
+    """ViT-B/16 serving, bf16, XLA attention (BASELINE config #2).
+
+    b64 measured faster than b256 (2,981 vs 2,602 img/s) and XLA
+    attention beats the Pallas flash kernel at the FULL-model level
+    (the isolated-op 1.38x win does not survive composition — the
+    64->128 lane padding doubles attention FLOPs and XLA fuses the
+    projections around its own softmax; BENCHMARKS.md r3,
+    demo/image_classification/profile_vit.py for the A/B)."""
+    from tlxcv_tpu.core import pure, split
+    from tlxcv_tpu.models.classification.vision_transformer import (
+        vit_base_patch16_224)
+
+    model = vit_base_patch16_224()
+    params, state = split(model)
+    fwd = pure(model)
+
+    @jax.jit
+    def infer(params, state, x):
+        out, _ = fwd(params, state, x, training=False)
+        return out.sum()
+
+    batch = 64
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 224, 224, 3)),
+        jnp.bfloat16)
+    return _throughput(infer, (_bf16(params), state, x), batch)
+
+
+def bench_hrnet_seg():
+    """HRNet-W18 FCN segmentation 512^2 (BASELINE config #4: full
+    multi-resolution fusion + bilinear upsample in one jit)."""
+    from tlxcv_tpu.core import pure, split
+    from tlxcv_tpu.models.segmentation.hrnet_seg import hrnet_seg_w18
+
+    model = hrnet_seg_w18(num_classes=19)
+    params, state = split(model)
+    fwd = pure(model)
+
+    @jax.jit
+    def infer(params, state, x):
+        out, _ = fwd(params, state, x, training=False)
+        return out.sum()
+
+    batch = 16
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 512, 512, 3)),
+        jnp.bfloat16)
+    return _throughput(infer, (_bf16(params), state, x), batch, n_iters=10)
+
+
 def main():
     resnet_ips = bench_resnet50()
     yolo_ips = bench_yolov3()
     resnet_int8 = bench_resnet50_int8()
     yolo_int8 = bench_yolov3_int8()
     mrcnn_ips = bench_mask_rcnn()
+    vit_ips = bench_vit()
+    hrnet_ips = bench_hrnet_seg()
     print(json.dumps({
         "metric": "resnet50_infer_images_per_sec_per_chip",
         "value": round(resnet_ips, 2),
@@ -200,6 +254,10 @@ def main():
         "yolov3_int8_vs_baseline": round(yolo_int8 / YOLO_TARGET, 4),
         "mask_rcnn_640_value": round(mrcnn_ips, 2),
         "mask_rcnn_640_unit": "img/s",
+        "vit_b16_value": round(vit_ips, 2),
+        "vit_b16_mfu_pct": round(
+            100 * vit_ips * VIT_FLOPS / V5E_BF16_PEAK, 1),
+        "hrnet_w18_seg_512_value": round(hrnet_ips, 2),
     }))
 
 

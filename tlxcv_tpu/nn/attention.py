@@ -21,10 +21,13 @@ __all__ = ["scaled_dot_product_attention", "MultiHeadAttention", "Attention",
            "use_flash_attention"]
 
 # Opt-in Pallas flash-attention path (ops/pallas/attention.py).  Measured
-# verdict (BENCHMARKS.md, r3): WINS at ViT-B shapes (nb-packed 2D-blocked
-# kernel, ~1.4x over the XLA two-einsum composition) but LOSES at Swin's
-# 49-token windows, so the default stays XLA; flip globally with
-# use_flash_attention(True) or per-call with use_flash=True.
+# verdict (BENCHMARKS.md, r3): the kernel wins the ISOLATED op at ViT-B
+# attention shapes (~1.4x over the XLA two-einsum chain) but loses at
+# the FULL-model level (ViT-B e2e 2,331 vs 2,981 img/s b64 — lane
+# padding doubles attention FLOPs and XLA fuses qkv/proj around its own
+# softmax) and at Swin's 49-token windows.  Default stays XLA; the
+# kernel remains available for long-sequence regimes (win grows with S)
+# via use_flash_attention(True) or per-call use_flash=True.
 _FLASH_DEFAULT = False
 
 
