@@ -112,6 +112,55 @@ def _ttfnet():
     return TTFNet(num_classes=NC, backbone=_R18C345(), score_threshold=0.05)
 
 
+def _ssd():
+    from tlxcv_tpu.models.detection import SSD
+
+    return SSD(num_classes=NC, image_size=(SIZE, SIZE),
+               score_threshold=0.05, nms_threshold=0.5)
+
+
+def _yolov3():
+    from tlxcv_tpu.models.detection import YOLOv3
+
+    # fixture-scaled anchors: objects are 19-51 px at SIZE=128
+    # (shapes_det.py draws w,h ~ U[0.15, 0.4]*size); the COCO defaults
+    # (10..373 px for 416-608 inputs) leave the 32-stride level with no
+    # matchable anchor here.  Masks keep the convention
+    # (6,7,8)->stride 32 = largest.
+    anchors = ((14, 14), (20, 26), (26, 20),
+               (28, 28), (36, 28), (28, 36),
+               (40, 40), (48, 48), (52, 40))
+    return YOLOv3(num_classes=NC, anchors=anchors, score_threshold=0.05)
+
+
+def _faster_rcnn():
+    from tlxcv_tpu.models.detection import faster_rcnn
+
+    return faster_rcnn(num_classes=NC, backbone=_r18(),
+                       box_score_thresh=0.05)
+
+
+def _cascade_rcnn():
+    from tlxcv_tpu.models.detection import CascadeRCNN
+
+    return CascadeRCNN(num_classes=NC, backbone=_r18(),
+                       box_score_thresh=0.05)
+
+
+def _tgt_norm_xyxy(t):
+    """SSD contract: boxes normalized xyxy (ssd.py loss_fn)."""
+    return {**t, "boxes": t["boxes"] / SIZE}
+
+
+def _tgt_norm_cxcywh(t):
+    """YOLOv3 contract: boxes normalized cxcywh, padded rows w=h=0."""
+    b = t["boxes"] / SIZE
+    cxcy = (b[..., :2] + b[..., 2:]) / 2
+    wh = (b[..., 2:] - b[..., :2]) * t["mask"][..., None]
+    return {**t, "boxes": jnp.concatenate([cxcy, wh], -1),
+            "scores": t["mask"]}
+
+
 # name -> (builder, steps, lr, mAP floor).  Floors are set ~10-15% under
 # the measured sweep numbers (table in BENCHMARKS.md) so real
 # regressions trip them but seed-level noise does not.
@@ -125,6 +174,17 @@ REGISTRY = {
     "ppyoloe_s": (_ppyoloe_s, 2000, 1e-3, 0.70),
     "centernet": (_centernet, 3000, 1e-3, 0.55),
     "ttfnet": (_ttfnet, 3000, 1e-3, 0.55),
+    "ssd": (_ssd, 3000, 1e-3, 0.50),
+    "yolov3": (_yolov3, 3000, 1e-3, 0.60),
+    "faster_rcnn": (_faster_rcnn, 2000, 1e-3, 0.55),
+    "cascade_rcnn": (_cascade_rcnn, 2000, 1e-3, 0.55),
+}
+
+# models whose loss_fn speaks a different box convention than the
+# sweep's canonical pixel-xyxy targets
+TARGET_ADAPTERS = {
+    "ssd": _tgt_norm_xyxy,
+    "yolov3": _tgt_norm_cxcywh,
 }
 
 
@@ -151,6 +211,7 @@ def batcher(ds, idxs):
 
 def run_model(name, steps=None, log_every=500):
     build, default_steps, lr, floor = REGISTRY[name]
+    adapt = TARGET_ADAPTERS.get(name, lambda t: t)
     steps = steps or default_steps
     model = build()
     params, state = split(model)
@@ -165,6 +226,7 @@ def run_model(name, steps=None, log_every=500):
 
     @jax.jit
     def step(params, state, opt_state, x, t):
+        t = adapt(t)
         def lf(p):
             loss, ns = lp(p, state, x, t, training=True)
             return loss, ns

@@ -24,7 +24,8 @@ def test_registry_covers_claimed_one_stage_zoo():
     # reference README.md:112-126 claims these complete; every one must
     # have a sweep entry with a real floor
     for name in ("fcos", "retinanet", "gfl", "tood", "yolox_s", "picodet",
-                 "ppyoloe_s", "centernet", "ttfnet"):
+                 "ppyoloe_s", "centernet", "ttfnet", "ssd", "yolov3",
+                 "faster_rcnn", "cascade_rcnn"):
         assert name in REGISTRY
         build, steps, lr, floor = REGISTRY[name]
         assert 0.3 <= floor <= 0.95
