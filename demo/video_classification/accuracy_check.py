@@ -45,22 +45,24 @@ def clip(rng):
                         np.float32)
     r = float(rng.uniform(5, 11))
     speed = float(rng.uniform(1.2, 2.6))
-    # start so the full trajectory stays mostly in frame
-    lo = r + speed * FRAMES * 0.5
-    cy, cx = rng.uniform(lo, SIZE - lo, size=2) if SIZE - lo > lo else \
-        (SIZE / 2, SIZE / 2)
-    cy += -DIRS[label][0] * speed * FRAMES / 2
-    cx += -DIRS[label][1] * speed * FRAMES / 2
+    # uniform start + toroidal wrap-around motion: the first-frame
+    # position carries ZERO class information (a trajectory-centered
+    # start would leak the direction into frame 1 — caught by
+    # tests/test_accuracy_fixtures.py::test_single_frame_is_class_ambiguous)
+    cy, cx = rng.uniform(0, SIZE, size=2)
     color = rng.uniform(0.6, 1.0, size=3).astype(np.float32)
     kind = int(rng.integers(0, 2))
     yy, xx = np.mgrid[0:SIZE, 0:SIZE].astype(np.float32)
     for t in range(FRAMES):
-        y = cy + DIRS[label][0] * speed * t
-        x = cx + DIRS[label][1] * speed * t
+        y = (cy + DIRS[label][0] * speed * t) % SIZE
+        x = (cx + DIRS[label][1] * speed * t) % SIZE
+        # minimum-image (wrapped) offsets
+        oy = (yy - y + SIZE / 2) % SIZE - SIZE / 2
+        ox = (xx - x + SIZE / 2) % SIZE - SIZE / 2
         if kind == 0:
-            m = ((yy - y) ** 2 + (xx - x) ** 2) <= r * r
+            m = (oy ** 2 + ox ** 2) <= r * r
         else:
-            m = (np.abs(yy - y) <= r) & (np.abs(xx - x) <= r)
+            m = (np.abs(oy) <= r) & (np.abs(ox) <= r)
         frames[t][m] = color
     return frames, label
 

@@ -1,94 +1,79 @@
-"""Hermetic sanity tests for the accuracy-bar fixture generators.
-
-The TPU accuracy loops (demo/*/accuracy_check*.py) are multi-minute
-runs; these tests pin the *fixtures* they train on so a silent fixture
-regression can't masquerade as a model regression.
-"""
-import os
-import sys
-
+"""Unit tests for the hermetic accuracy-bar fixtures (face identity,
+video motion): the bar scripts train for minutes on TPU, so these
+cheap property tests pin the fixture semantics the bars rely on."""
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                ".."))
+from demo.face_recognition.accuracy_check import (identity_template,
+                                                  render as face_render)
+from demo.video_classification.accuracy_check import DIRS, FRAMES, clip
 
 
-def test_ocr_glyph_render_is_readable():
-    from demo.ocr.accuracy_check import GLYPHS, H, LEN, W, render
+def test_identity_template_deterministic_and_distinct():
+    a1 = identity_template(3)
+    a2 = identity_template(3)
+    b = identity_template(4)
+    np.testing.assert_array_equal(a1, a2)
+    # distinct identities differ meaningfully in geometry
+    assert np.abs(a1 - b).max() > 0.02
+    assert a1.shape == (68, 2)
 
+
+def test_identity_geometry_survives_nuisance():
+    # the same identity rendered twice differs in pixels (nuisance) but
+    # comes from the same deterministic geometry
+    r1 = face_render(5, np.random.default_rng(0))
+    r2 = face_render(5, np.random.default_rng(1))
+    assert r1.shape == r2.shape == (64, 64, 3)
+    assert not np.array_equal(r1, r2)
+    assert r1.max() > 0.5  # something was drawn
+
+
+def _circ_centroid(mask, size=64):
+    """Centroid on the torus (circular mean per axis)."""
+    ys, xs = np.nonzero(mask)
+    out = []
+    for v in (ys, xs):
+        th = v * (2 * np.pi / size)
+        ang = np.arctan2(np.sin(th).mean(), np.cos(th).mean())
+        out.append((ang % (2 * np.pi)) * size / (2 * np.pi))
+    return out
+
+
+def test_clip_motion_matches_label():
     rng = np.random.default_rng(0)
-    img = render(rng, "01234")
-    assert img.shape == (H, W, 3)
-    # the digits must be markedly brighter than the background
-    assert img.max() >= 0.7 and np.quantile(img, 0.2) < 0.3
-    assert set(GLYPHS) == set("0123456789")
-    for g in GLYPHS.values():
-        assert g.shape == (5, 3)
+    for _ in range(8):
+        frames, label = clip(rng)
+        assert frames.shape == (FRAMES, 64, 64, 3)
+        # summed min-image displacement of the (toroidal) centroid must
+        # track the labeled direction
+        cents = [_circ_centroid(f.max(-1) > 0.5) for f in frames]
+        dy = dx = 0.0
+        for (y0, x0), (y1, x1) in zip(cents[:-1], cents[1:]):
+            dy += (y1 - y0 + 32) % 64 - 32
+            dx += (x1 - x0 + 32) % 64 - 32
+        d = DIRS[label]
+        proj = dy * d[0] + dx * d[1]
+        orth = abs(dy * d[1]) + abs(dx * d[0])
+        assert proj > 5.0, (label, dy, dx)
+        assert proj > orth, (label, dy, dx)
 
 
-def test_ocr_sample_labels_roundtrip():
-    from tlxcv_tpu.models.ocr import CharTokenizer
-    from demo.ocr.accuracy_check import LEN, sample
-
-    tok = CharTokenizer()
+def test_single_frame_is_class_ambiguous():
+    # the first frame alone carries no direction information: identical
+    # shape/position setups with different labels start from different
+    # positions (trajectory-centered), so no single-frame shortcut like
+    # "position encodes class" may exist — check that first-frame
+    # centroids for each class overlap in range
     rng = np.random.default_rng(1)
-    imgs, labels, texts = sample(rng, tok, 4)
-    assert imgs.shape[0] == 4 and labels.shape == (4, LEN + 3)
-    for row, text in zip(labels, texts):
-        assert tok.decode(row) == text
-        assert row[LEN] == tok.eos_token_id
-
-
-def test_rain_fixture_is_supervised_pair():
-    from demo.gan.accuracy_check import SIZE, batch
-
-    rng = np.random.default_rng(0)
-    rainy, clean = batch(rng, 3)
-    assert rainy.shape == clean.shape == (3, SIZE, SIZE, 3)
-    # rain only ADDS brightness, never removes
-    assert (rainy - clean).min() >= -1e-6
-    assert (rainy - clean).max() > 0.2
-    assert 0.0 <= clean.min() and clean.max() <= 1.0
-
-
-def test_landmark_fixture_augmentation_consistency():
-    """Augmented samples keep landmarks on the drawn curves: the brow
-    midpoint of the flipped sample must still be a bright pixel."""
-    from demo.facial_landmark_detection.accuracy_check import (
-        SIZE, _augment_pipeline, sample)
-
-    rng = np.random.default_rng(3)
-    augments = _augment_pipeline(np.random.default_rng(0))
-    imgs, lms, eulers = sample(rng, 6, augments=augments)
-    assert imgs.shape == (6, SIZE, SIZE, 3)
-    assert lms.shape == (6, 136) and eulers.shape == (6, 3)
-    lm = lms.reshape(6, 68, 2) * SIZE
-    hits = 0
-    for i in range(6):
-        # jaw points lie on drawn lines unless occluded; count matches
-        pts = np.clip(lm[i, :17].astype(int), 0, SIZE - 1)
-        vals = imgs[i, pts[:, 1], pts[:, 0], 0]
-        hits += (vals > 0.4).sum()
-    # occlusion may hide some, but the majority must land on the sketch
-    assert hits > 0.5 * 6 * 17, hits
-
-
-def test_shapes_detection_masks_match_rendering():
-    from tlxcv_tpu.data import ShapesDetection
-
-    ds = ShapesDetection(num=8, size=96, max_objects=3, seed=5,
-                         return_masks=True)
-    for i in range(8):
-        img, t = ds[i]
-        masks = t["masks"]
-        assert masks.shape[0] == len(t["boxes"])
-        # masks are disjoint (visible-pixel semantics)
-        assert masks.astype(int).sum(0).max() <= 1
-        # each visible mask pixel is painted with its object color
-        for m in masks:
-            if m.sum() == 0:
-                continue
-            ys, xs = np.where(m)
-            vals = img[ys, xs]
-            # object colors are uniform in [0.6, 1]; allow frame class
-            assert vals.min() >= 0.55
+    cents = {k: [] for k in range(4)}
+    for _ in range(64):
+        frames, label = clip(rng)
+        m = frames[0].max(-1) > 0.5
+        ys, xs = np.nonzero(m)
+        cents[label].append((ys.mean(), xs.mean()))
+    mins = [np.min(np.asarray(c), 0) for c in cents.values()]
+    maxs = [np.max(np.asarray(c), 0) for c in cents.values()]
+    # every class's first-frame centroid range overlaps the others'
+    for i in range(4):
+        for j in range(4):
+            assert (mins[i] <= maxs[j] + 1).all(), (i, j)
