@@ -147,6 +147,28 @@ def _cascade_rcnn():
                        box_score_thresh=0.05)
 
 
+def _detr():
+    from tlxcv_tpu.models.detection import Detr
+
+    # 4 decoder/encoder layers and 25 queries are plenty for <=4 objects
+    # at 128^2 (16 encoder tokens); full DETR depth just slows the bar
+    return Detr(num_classes=NC, num_queries=25, enc_layers=4, dec_layers=4,
+                dropout=0.0)
+
+
+def _detr_predict(model, x):
+    """DETR eval returns {logits, boxes}; adapt to (dets, counts)."""
+    out = model(x)
+    labels, scores, boxes = model.predict_boxes(out, x.shape[1:3])
+    order = jnp.argsort(-scores, axis=1)
+    take = lambda a: jnp.take_along_axis(a, order[..., None] if a.ndim == 3
+                                         else order, axis=1)
+    labels, scores, boxes = take(labels), take(scores), take(boxes)
+    dets = jnp.concatenate([labels[..., None].astype(jnp.float32),
+                            scores[..., None], boxes], -1)
+    return dets, jnp.sum(scores > 0.05, axis=1)
+
+
 def _tgt_norm_xyxy(t):
     """SSD contract: boxes normalized xyxy (ssd.py loss_fn)."""
     return {**t, "boxes": t["boxes"] / SIZE}
@@ -178,6 +200,7 @@ REGISTRY = {
     "yolov3": (_yolov3, 3000, 1e-3, 0.60),
     "faster_rcnn": (_faster_rcnn, 2000, 1e-3, 0.55),
     "cascade_rcnn": (_cascade_rcnn, 2000, 1e-3, 0.55),
+    "detr": (_detr, 4000, 2e-4, 0.30),
 }
 
 # models whose loss_fn speaks a different box convention than the
@@ -185,6 +208,12 @@ REGISTRY = {
 TARGET_ADAPTERS = {
     "ssd": _tgt_norm_xyxy,
     "yolov3": _tgt_norm_cxcywh,
+    "detr": _tgt_norm_cxcywh,
+}
+
+# models whose eval __call__ does not already return (dets, counts)
+PREDICT_ADAPTERS = {
+    "detr": _detr_predict,
 }
 
 
@@ -216,7 +245,8 @@ def run_model(name, steps=None, log_every=500):
     model = build()
     params, state = split(model)
     lp = pure(model, lambda m, v, t: m.loss_fn(m(v), t))
-    fwd = pure(model)
+    fwd = pure(model, PREDICT_ADAPTERS[name]) if name in PREDICT_ADAPTERS \
+        else pure(model)
     sched = optax.cosine_decay_schedule(lr, steps)
     tx = optax.adam(sched)
     opt_state = tx.init(params)

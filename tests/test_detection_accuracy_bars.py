@@ -25,7 +25,7 @@ def test_registry_covers_claimed_one_stage_zoo():
     # have a sweep entry with a real floor
     for name in ("fcos", "retinanet", "gfl", "tood", "yolox_s", "picodet",
                  "ppyoloe_s", "centernet", "ttfnet", "ssd", "yolov3",
-                 "faster_rcnn", "cascade_rcnn"):
+                 "faster_rcnn", "cascade_rcnn", "detr"):
         assert name in REGISTRY
         build, steps, lr, floor = REGISTRY[name]
         assert 0.3 <= floor <= 0.95
