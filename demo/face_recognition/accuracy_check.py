@@ -203,6 +203,14 @@ def main(steps=1500, batch_size=64):
     print(f"[arcface] verification acc {acc:.4f} (threshold {best_t:.3f}, "
           f"{len(pos)} pos / {len(neg)} neg pairs, unseen identities) "
           f"bar {BAR} ({time.time() - t0:.0f}s)")
+    import json
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "accuracy_results.json"), "w") as f:
+        json.dump({"metric": "verification_accuracy", "value": acc,
+                   "bar": BAR, "steps": steps,
+                   "protocol": "disjoint-identity pairs, val-half threshold",
+                   "seconds": round(time.time() - t0, 1)}, f, indent=1)
     assert acc >= BAR, (acc, BAR)
     print("PASS")
     return acc

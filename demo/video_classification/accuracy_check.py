@@ -121,6 +121,13 @@ def main(steps=400, batch_size=16):
     acc = correct / total
     print(f"[i3d] held-out clip accuracy {acc:.4f} ({total} clips) "
           f"bar {BAR} ({time.time() - t0:.0f}s)")
+    import json
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "accuracy_results.json"), "w") as f:
+        json.dump({"metric": "clip_accuracy", "value": acc, "bar": BAR,
+                   "steps": steps, "clips": total,
+                   "seconds": round(time.time() - t0, 1)}, f, indent=1)
     assert acc >= BAR, (acc, BAR)
     print("PASS")
     return acc
