@@ -77,3 +77,25 @@ def test_single_frame_is_class_ambiguous():
     for i in range(4):
         for j in range(4):
             assert (mins[i] <= maxs[j] + 1).all(), (i, j)
+
+
+def test_sweep_target_adapters():
+    import jax.numpy as jnp
+
+    from demo.object_detection.accuracy_sweep import (SIZE, _tgt_norm_cxcywh,
+                                                      _tgt_norm_xyxy)
+
+    t = {"boxes": jnp.asarray([[[16.0, 32.0, 48.0, 96.0],
+                                [0.0, 0.0, 0.0, 0.0]]]),
+         "class_labels": jnp.asarray([[1, 0]]),
+         "mask": jnp.asarray([[1.0, 0.0]])}
+    a = _tgt_norm_xyxy(t)
+    assert float(a["boxes"][0, 0, 2]) == 48.0 / SIZE
+    b = _tgt_norm_cxcywh(t)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(b["boxes"][0, 0]),
+        [32.0 / SIZE, 64.0 / SIZE, 32.0 / SIZE, 64.0 / SIZE], rtol=1e-6)
+    # padded rows must have zero w/h (YOLOv3 treats w>0 as validity)
+    assert float(b["boxes"][0, 1, 2]) == 0.0
