@@ -134,49 +134,17 @@ def batch(rng, n, id_pool):
     return jnp.asarray(imgs), jnp.asarray(ids, jnp.int32)
 
 
-def main(steps=1500, batch_size=64):
-    model = ArcFace(input_size=SIZE, embed_size=128,
-                    num_classes=N_TRAIN_IDS,
-                    backbone=ResNet(depth=18, num_classes=0, with_pool=False))
-    params, state = split(model)
-    # loss path: embeds -> margin head -> CE (arcface.py loss_fn)
-    lp = pure(model, lambda m, x, y: m.loss_fn(m(x), y))
-    emb = pure(model, "embed")
-    sched = optax.cosine_decay_schedule(1e-3, steps)
-    tx = optax.adam(sched)
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def step(params, state, opt_state, x, y, key):
-        def lf(p):
-            loss, ns = lp(p, state, x, y, training=True, rngs=key)
-            return loss.mean(), ns
-
-        (loss, state), g = jax.value_and_grad(lf, has_aux=True)(params)
-        u, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(params, u), state, opt_state, loss
-
-    rng = np.random.default_rng(0)
-    train_ids = list(range(N_TRAIN_IDS))
-    key = jax.random.key(0)
-    t0 = time.time()
-    for it in range(steps):
-        x, y = batch(rng, batch_size, train_ids)
-        key, sub = jax.random.split(key)
-        params, state, opt_state, loss = step(params, state, opt_state,
-                                              x, y, sub)
-        if it % 250 == 0:
-            print(f"[arcface] it {it} loss {float(loss):.4f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
-
-    # ---- verification on DISJOINT identities ----
-    embed = jax.jit(lambda p, s, x: emb(p, s, x, training=False)[0])
+def _verify(embed_fn, params, state, id_base, seed):
+    """LFW-protocol verification accuracy on identities id_base+i
+    (disjoint from training): embed, score all same/diff cosine pairs,
+    pick the threshold on the val half, report accuracy on the test
+    half.  Returns (acc, threshold, n_pos)."""
     n_ids, per = 16, 8
-    eval_rng = np.random.default_rng(123)
+    eval_rng = np.random.default_rng(seed)
     embs = np.zeros((n_ids, per, 128), np.float32)
     for i in range(n_ids):
-        imgs = np.stack([render(10000 + i, eval_rng) for _ in range(per)])
-        embs[i] = np.asarray(embed(params, state, jnp.asarray(imgs)))
+        imgs = np.stack([render(id_base + i, eval_rng) for _ in range(per)])
+        embs[i] = np.asarray(embed_fn(params, state, jnp.asarray(imgs)))
 
     pos, neg = [], []
     for i in range(n_ids):
@@ -194,15 +162,70 @@ def main(steps=1500, batch_size=64):
     perm = pair_rng.permutation(len(scores))
     scores, labels = scores[perm], labels[perm]
     half = len(scores) // 2
-    # threshold picked on the val half only (LFW protocol shape)
     cands = np.unique(scores[:half])
     accs = [(np.mean((scores[:half] >= t) == labels[:half]), t)
             for t in cands]
     best_t = max(accs)[1]
     acc = float(np.mean((scores[half:] >= best_t) == labels[half:]))
+    return acc, best_t, len(pos)
+
+
+def main(steps=4000, batch_size=64):
+    model = ArcFace(input_size=SIZE, embed_size=128,
+                    num_classes=N_TRAIN_IDS,
+                    backbone=ResNet(depth=18, num_classes=0, with_pool=False))
+    params, state = split(model)
+    # loss path: embeds -> margin head -> CE (arcface.py loss_fn); the
+    # margin is warm-ramped 0 -> 0.5 over the first 40% of training —
+    # at init the full margin at logit scale 64 puts the target logit
+    # ~30 below the others (observed CE ~44) and stalls early training.
+    lp = pure(model, lambda m, x, y, mg: m.loss_fn(m.embed(x), y, margin=mg))
+    emb = pure(model, "embed")
+    sched = optax.cosine_decay_schedule(1e-3, steps)
+    tx = optax.adam(sched)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, opt_state, x, y, mg, key):
+        def lf(p):
+            loss, ns = lp(p, state, x, y, mg, training=True, rngs=key)
+            return loss.mean(), ns
+
+        (loss, state), g = jax.value_and_grad(lf, has_aux=True)(params)
+        u, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(params, u), state, opt_state, loss
+
+    embed = jax.jit(lambda p, s, x: emb(p, s, x, training=False)[0])
+    rng = np.random.default_rng(0)
+    train_ids = list(range(N_TRAIN_IDS))
+    key = jax.random.key(0)
+    t0 = time.time()
+    warm = int(steps * 0.4)
+    it = 0
+    for it in range(steps):
+        x, y = batch(rng, batch_size, train_ids)
+        key, sub = jax.random.split(key)
+        mg = jnp.float32(0.5 * min(1.0, it / max(1, warm)))
+        params, state, opt_state, loss = step(params, state, opt_state,
+                                              x, y, mg, sub)
+        if it % 250 == 0:
+            print(f"[arcface] it {it} loss {float(loss):.4f} "
+                  f"margin {float(mg):.2f} ({time.time() - t0:.0f}s)",
+                  flush=True)
+        # early-stop gate on SEPARATE val identities (20000+) so the
+        # reported protocol identities (10000+) are never selected on
+        if it and it % 500 == 0 and it >= warm:
+            vacc, _, _ = _verify(embed, params, state, 20000, 55)
+            print(f"[arcface] it {it} val-ids acc {vacc:.4f}", flush=True)
+            if vacc >= BAR + 0.02:
+                break
+
+    # ---- verification on DISJOINT identities ----
+    acc, best_t, n_pos = _verify(embed, params, state, 10000, 123)
     print(f"[arcface] verification acc {acc:.4f} (threshold {best_t:.3f}, "
-          f"{len(pos)} pos / {len(neg)} neg pairs, unseen identities) "
+          f"{n_pos} pos / {n_pos} neg pairs, unseen identities) "
           f"bar {BAR} ({time.time() - t0:.0f}s)")
+    steps = it + 1
     import json
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -217,5 +240,5 @@ def main(steps=1500, batch_size=64):
 
 
 if __name__ == "__main__":
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     main(steps=steps)

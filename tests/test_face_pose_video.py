@@ -101,6 +101,14 @@ def test_arcface_margin_and_loss(rng):
     true_margin = np.asarray(logits_m)[np.arange(4), np.asarray(labels)]
     true_plain = cos[np.arange(4), np.asarray(labels)] * head.logist_scale
     assert (true_margin <= true_plain + 1e-3).all()
+    # dynamic margin override: 0.5 matches the baked consts exactly,
+    # 0.0 degenerates to plain normalized softmax logits
+    logits_dyn = head(e, labels, margin=jnp.float32(0.5))
+    np.testing.assert_allclose(np.asarray(logits_dyn), np.asarray(logits_m),
+                               atol=1e-5)
+    logits_0 = head(e, labels, margin=jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(logits_0),
+                               cos * head.logist_scale, atol=1e-3)
 
 
 def test_i3d_shapes(rng):

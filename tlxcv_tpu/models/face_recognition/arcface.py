@@ -27,14 +27,25 @@ class ArcHead(nn.Module):
         self.th = math.cos(math.pi - margin)
         self.mm = self.sin_m * margin
 
-    def __call__(self, embeds, labels):
+    def __call__(self, embeds, labels, margin=None):
+        """margin=None uses the constructor margin (baked trig consts);
+        passing a scalar (python float or traced array) overrides it —
+        used for margin-warmup schedules, where training starts as plain
+        normalized softmax (margin 0) and ramps to the full margin (the
+        from-scratch recipe; at init the full margin puts the target
+        logit ~scale*sin(m)/2 below the rest and stalls early epochs)."""
         e = embeds / (jnp.linalg.norm(embeds, axis=1, keepdims=True) + 1e-9)
         w = self.weight.value
         w = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-9)
         cos_t = e @ w
+        if margin is None:
+            cos_m, sin_m, th, mm = self.cos_m, self.sin_m, self.th, self.mm
+        else:
+            cos_m, sin_m = jnp.cos(margin), jnp.sin(margin)
+            th, mm = jnp.cos(math.pi - margin), sin_m * margin
         sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t ** 2, 0.0, 1.0))
-        cos_mt = cos_t * self.cos_m - sin_t * self.sin_m
-        cos_mt = jnp.where(cos_t > self.th, cos_mt, cos_t - self.mm)
+        cos_mt = cos_t * cos_m - sin_t * sin_m
+        cos_mt = jnp.where(cos_t > th, cos_mt, cos_t - mm)
         mask = jax.nn.one_hot(labels.astype(jnp.int32), self.num_classes)
         return jnp.where(mask == 1.0, cos_mt, cos_t) * self.logist_scale
 
@@ -73,8 +84,8 @@ class ArcFace(nn.Module):
             return self.head(e, labels)
         return e
 
-    def loss_fn(self, embeds, labels):
-        logits = self.head(embeds, labels)
+    def loss_fn(self, embeds, labels, margin=None):
+        logits = self.head(embeds, labels, margin=margin)
         from ...ops.losses import softmax_cross_entropy
 
         return softmax_cross_entropy(logits, labels)
