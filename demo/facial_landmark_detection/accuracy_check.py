@@ -149,7 +149,7 @@ def sample(rng, n, augments=None):
     return imgs, lms.reshape(n, -1), eulers
 
 
-def main(steps_l2=3000, steps_wing=3000):
+def main(steps_l2=8000, steps_wing=2000):
     """Two-phase recipe (the r3 lesson, see BENCHMARKS.md):
 
     A single-phase wing-loss run at lr 1e-3 trains to ~1px error in
@@ -207,7 +207,13 @@ def main(steps_l2=3000, steps_wing=3000):
     augments = _augment_pipeline(rng)
     t0 = time.time()
 
-    def phase(name, params, state, use_wing, steps, lr):
+    def phase(name, params, state, use_wing, steps, lr, freeze_bn=False):
+        """freeze_bn trains with training=False inside the loss: BN uses
+        the (recalibrated) running stats and never updates them, so the
+        fine-tune optimizes the EXACT function scored at eval time —
+        wing's non-vanishing gradients can no longer cause the BN-drift
+        oscillation the r3 two-phase run showed (eval NME bouncing
+        0.26->0.52->0.22 while train-mode error was ~1px)."""
         lp = pure(model, make_objective(use_wing))
         tx = optax.adam(optax.cosine_decay_schedule(lr, steps, 1e-2))
         opt_state = tx.init(params)
@@ -215,7 +221,8 @@ def main(steps_l2=3000, steps_wing=3000):
         @jax.jit
         def step(params, state, opt_state, x, lm, eu):
             def lf(p):
-                loss, ns = lp(p, state, x, lm, eu, training=True)
+                loss, ns = lp(p, state, x, lm, eu,
+                              training=not freeze_bn)
                 return loss, ns
 
             (loss, state), g = jax.value_and_grad(lf, has_aux=True)(params)
@@ -233,18 +240,21 @@ def main(steps_l2=3000, steps_wing=3000):
                       f"({time.time()-t0:.0f}s)", flush=True)
         return params, state
 
-    params, state = phase("l2", params, state, False, steps_l2, 1e-3)
-    params, state = phase("wing", params, state, True, steps_wing, 1e-4)
-
-    # Wing's non-vanishing gradients keep weights drifting at any
-    # useful lr, so the BN running stats always lag at the end of the
-    # phase; re-estimate them exactly with frozen weights (SWA
-    # update_bn idiom, train/bn_recal.py) before scoring.
     from tlxcv_tpu.train.bn_recal import recalibrate_batch_stats
 
+    params, state = phase("l2", params, state, False, steps_l2, 1e-3)
+
+    # Re-estimate BN stats exactly with frozen weights (SWA update_bn
+    # idiom, train/bn_recal.py), then fine-tune with wing AGAINST those
+    # frozen stats so train and eval see the same function.
     recal = [jnp.asarray(sample(rng, 32)[0]) for _ in range(40)]
     state = recalibrate_batch_stats(model, params, state, recal)
-    print(f"post-recal eval-NME {eval_nme(params, state):.4f} "
+    print(f"post-l2-recal eval-NME {eval_nme(params, state):.4f} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    params, state = phase("wing", params, state, True, steps_wing, 1e-4,
+                          freeze_bn=True)
+    print(f"post-wing eval-NME {eval_nme(params, state):.4f} "
           f"({time.time()-t0:.0f}s)", flush=True)
 
     nme = NME(num_points=68)
