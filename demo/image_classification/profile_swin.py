@@ -152,6 +152,23 @@ def main():
         print(f"  {name:18s} {dt * 1e3:8.2f} ms  "
               f"(delta vs full {-(full - dt) * 1e3:+.2f} ms)", flush=True)
 
+    # int8 Linears (weight + calibrated activation quant): the ViT
+    # finding generalizes — Swin blocks are Linear-MAC-dominated, the
+    # two window einsums are ~4% — so the int8 MXU win lives in the
+    # Linears (profile_vit.py measured +14% on ViT-B).
+    from tlxcv_tpu.ops.quant import calibrate_activations, quantize_weights
+
+    nq = quantize_weights(model)
+    calibrate_activations(model,
+                          [np.random.rand(2, 224, 224, 3).astype(np.float32)])
+    params, state = split(model)
+    params = _bf16(params)
+    f = pure(model)
+    step = jax.jit(lambda p, s, xx: f(p, s, xx, training=False)[0])
+    dt = timeit(step, (params, state, x))
+    print(f"  int8 ({nq} layers)  {dt * 1e3:8.2f} ms = {batch / dt:.1f} img/s"
+          f"  (bf16 was {batch / full:.1f})", flush=True)
+
 
 if __name__ == "__main__":
     main()
