@@ -99,10 +99,19 @@ def identity_template(identity_seed):
     return pts
 
 
-def _draw_line(img, p, q):
-    n = int(max(abs(q[0] - p[0]), abs(q[1] - p[1]))) + 1
-    xs = np.linspace(p[0], q[0], n).astype(int)
-    ys = np.linspace(p[1], q[1], n).astype(int)
+# all polyline segments as index pairs, for one-shot vectorized raster
+_SEG_A = np.asarray([a for g in GROUPS for a in list(g)[:-1]])
+_SEG_B = np.asarray([b for g in GROUPS for b in list(g)[1:]])
+_T = np.linspace(0.0, 1.0, 32, dtype=np.float32)  # >= max segment length px
+
+
+def _draw_face(img, pts):
+    """Rasterize every segment at once (the per-segment python loop was
+    the host bottleneck of the TPU run; 32 samples/segment marks the
+    same 8-connected cells — segments here are <= ~10 px)."""
+    P, Q = pts[_SEG_A], pts[_SEG_B]
+    xs = (P[:, 0:1] + (Q[:, 0:1] - P[:, 0:1]) * _T).astype(int).ravel()
+    ys = (P[:, 1:2] + (Q[:, 1:2] - P[:, 1:2]) * _T).astype(int).ravel()
     ok = (xs >= 0) & (xs < SIZE) & (ys >= 0) & (ys < SIZE)
     img[ys[ok], xs[ok]] = 1.0
 
@@ -119,10 +128,7 @@ def render(identity_seed, rng):
     ctr = (rng.uniform(0.42, 0.58) * SIZE, rng.uniform(0.42, 0.58) * SIZE)
     pts = pts @ R.T * scale + ctr
     color = rng.uniform(0.7, 1.0)
-    for g in GROUPS:
-        g = list(g)
-        for a, b in zip(g[:-1], g[1:]):
-            _draw_line(img[:, :, 0], pts[a], pts[b])
+    _draw_face(img[:, :, 0], pts)
     img[:, :, 1] = img[:, :, 0] * color
     img[:, :, 2] = img[:, :, 0] * (1 - color)
     return img
