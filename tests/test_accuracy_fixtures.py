@@ -99,3 +99,43 @@ def test_sweep_target_adapters():
         [32.0 / SIZE, 64.0 / SIZE, 32.0 / SIZE, 64.0 / SIZE], rtol=1e-6)
     # padded rows must have zero w/h (YOLOv3 treats w>0 as validity)
     assert float(b["boxes"][0, 1, 2]) == 0.0
+
+
+def test_landmark_fixture_points_on_sketch():
+    # the PFLD fixture's GT landmarks must lie ON the rendered sketch
+    # (within the raster's 1-px truncation) — pins the vectorized
+    # _draw_face rasterizer to the landmark geometry it claims to draw
+    from demo.facial_landmark_detection.accuracy_check import (SIZE, sample)
+
+    imgs, lms, _ = sample(np.random.default_rng(3), 4)
+    lms = lms.reshape(4, 68, 2) * SIZE
+    for i in range(4):
+        drawn = imgs[i, :, :, 0] >= 0.5
+        ys, xs = np.nonzero(drawn)
+        for x, y in lms[i]:
+            d = np.hypot(xs - x, ys - y).min()
+            assert d <= 1.5, (i, x, y, d)
+
+
+def test_face_fixture_raster_matches_reference_draw():
+    # vectorized raster covers every pixel the per-segment reference
+    # algorithm (Chebyshev-stepped linspace) marks
+    from demo.face_recognition.accuracy_check import (GROUPS, SIZE,
+                                                      _draw_face,
+                                                      identity_template)
+
+    pts = identity_template(9) * 0.38 * SIZE + SIZE / 2
+    a = np.zeros((SIZE, SIZE), np.float32)
+    _draw_face(a, pts)
+    b = np.zeros((SIZE, SIZE), np.float32)
+    for g in GROUPS:
+        g = list(g)
+        for i, j in zip(g[:-1], g[1:]):
+            p, q = pts[i], pts[j]
+            n = int(max(abs(q[0] - p[0]), abs(q[1] - p[1]))) + 1
+            xs = np.linspace(p[0], q[0], n).astype(int)
+            ys = np.linspace(p[1], q[1], n).astype(int)
+            ok = (xs >= 0) & (xs < SIZE) & (ys >= 0) & (ys < SIZE)
+            b[ys[ok], xs[ok]] = 1.0
+    missed = ((b == 1) & (a == 0)).sum()
+    assert missed == 0, missed
