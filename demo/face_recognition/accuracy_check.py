@@ -176,9 +176,9 @@ def _verify(embed_fn, params, state, id_base, seed):
     return acc, best_t, len(pos)
 
 
-def main(steps=4000, batch_size=64):
+def main(steps=4000, batch_size=64, n_train_ids=N_TRAIN_IDS):
     model = ArcFace(input_size=SIZE, embed_size=128,
-                    num_classes=N_TRAIN_IDS,
+                    num_classes=n_train_ids,
                     backbone=ResNet(depth=18, num_classes=0, with_pool=False))
     params, state = split(model)
     # loss path: embeds -> margin head -> CE (arcface.py loss_fn); the
@@ -203,7 +203,7 @@ def main(steps=4000, batch_size=64):
 
     embed = jax.jit(lambda p, s, x: emb(p, s, x, training=False)[0])
     rng = np.random.default_rng(0)
-    train_ids = list(range(N_TRAIN_IDS))
+    train_ids = list(range(n_train_ids))
     key = jax.random.key(0)
     t0 = time.time()
     warm = int(steps * 0.4)
@@ -247,4 +247,5 @@ def main(steps=4000, batch_size=64):
 
 if __name__ == "__main__":
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    main(steps=steps)
+    ids = int(sys.argv[2]) if len(sys.argv) > 2 else N_TRAIN_IDS
+    main(steps=steps, n_train_ids=ids)

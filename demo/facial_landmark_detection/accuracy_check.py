@@ -277,4 +277,6 @@ def main(steps_l2=8000, steps_wing=2000):
 
 
 if __name__ == "__main__":
-    main()
+    l2 = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+    wing = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    main(steps_l2=l2, steps_wing=wing)
