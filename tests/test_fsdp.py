@@ -53,8 +53,8 @@ def test_fsdp_training_matches_replicated(rng):
                      param_sharding=param_sharding)
         losses = []
         for _ in range(5):
-            (tr.params, tr.state, tr.opt_state, loss, _) = tr._train_step(
-                tr.params, tr.state, tr.opt_state,
+            (tr.params, tr.state, tr.opt_state, _, loss, _) = tr._train_step(
+                tr.params, tr.state, tr.opt_state, tr.ema_params,
                 tr._put_batch(x), tr._put_batch(y), jax.random.key(0))
             losses.append(float(loss))
         return tr, losses

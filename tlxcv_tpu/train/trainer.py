@@ -32,11 +32,19 @@ class Trainer:
 
     def __init__(self, network: Module, loss_fn=None, optimizer=None,
                  metrics: tp.Optional[Metric] = None, mesh=None, seed: int = 0,
-                 loss_has_aux: bool = False, param_sharding: str = "replicated"):
+                 loss_has_aux: bool = False, param_sharding: str = "replicated",
+                 ema_decay: tp.Optional[float] = None,
+                 ema_for_eval: bool = True):
         """``param_sharding="fsdp"`` shards every large parameter over the
         mesh 'data' axis (ZeRO-3; parallel.mesh.fsdp_shardings) — XLA
         inserts the all-gathers/reduce-scatters; the optimizer state
-        inherits the sharding via zeros_like at init."""
+        inherits the sharding via zeros_like at init.
+
+        ``ema_decay`` keeps an exponential moving average of the params
+        updated inside the SAME jitted train step (the PaddleDet-recipe
+        convention the reference models descend from, e.g. PPYOLOE's
+        ema/ema_decay 0.9998); ``ema_for_eval`` routes evaluate/predict/
+        save_weights through the averaged weights."""
         self.network = network
         self.loss_fn = loss_fn if loss_fn is not None else network.loss_fn
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-3)
@@ -58,6 +66,10 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         self.step = 0
         self._key = jax.random.key(seed)
+        self.ema_decay = None if ema_decay is None else float(ema_decay)
+        self.ema_for_eval = ema_for_eval and ema_decay is not None
+        # seeded at the trained params so no debiasing is needed
+        self.ema_params = dict(self.params) if ema_decay is not None else None
 
         loss_fn = self.loss_fn
 
@@ -90,8 +102,10 @@ class Trainer:
 
         from functools import partial
 
+        ema_decay = self.ema_decay
+
         @partial(jax.jit, static_argnames=("epoch_id",))
-        def train_step(params, state, opt_state, x, y, key, epoch_id=0):
+        def train_step(params, state, opt_state, ema, x, y, key, epoch_id=0):
             def lf(p):
                 (loss, out), new_state = loss_pure(
                     p, state, x, y, epoch_id, training=True, rngs=Rngs(key))
@@ -101,7 +115,11 @@ class Trainer:
                 lf, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, new_state, opt_state, loss, out
+            if ema is not None:  # trace-time branch (ema is None or a dict)
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                    ema, params)
+            return params, new_state, opt_state, ema, loss, out
 
         @jax.jit
         def eval_step(params, state, x):
@@ -161,9 +179,10 @@ class Trainer:
             for bi, (x, y) in enumerate(batches):
                 if max_steps_per_epoch is not None and bi >= max_steps_per_epoch:
                     break
-                (self.params, self.state, self.opt_state, loss, out
+                (self.params, self.state, self.opt_state, self.ema_params,
+                 loss, out
                  ) = self._train_step(self.params, self.state, self.opt_state,
-                                      x, y, self._next_key(),
+                                      self.ema_params, x, y, self._next_key(),
                                       epoch_id=self._epoch_bucket(epoch))
                 self.step += 1
                 losses.append(loss)
@@ -207,10 +226,11 @@ class Trainer:
                             bi >= max_steps_per_epoch):
                         break
                     x, y = self._put_batch((x, y))
-                    (self.params, self.state, self.opt_state, loss, out
+                    (self.params, self.state, self.opt_state, self.ema_params,
+                     loss, out
                      ) = self._train_step(self.params, self.state,
-                                          self.opt_state, x, y,
-                                          self._next_key(),
+                                          self.opt_state, self.ema_params,
+                                          x, y, self._next_key(),
                                           epoch_id=self._epoch_bucket(epoch))
                     self.step += 1
                     losses.append(loss)
@@ -234,7 +254,8 @@ class Trainer:
             if max_batches is not None and bi >= max_batches:
                 break
             x, y = self._put_batch((x, y))
-            loss, out = self._eval_loss_step(self.params, self.state, x, y)
+            loss, out = self._eval_loss_step(self.eval_params, self.state,
+                                             x, y)
             losses.append(loss)
             if self.metrics is not None:
                 self.metrics.update(np.asarray(out), np.asarray(y))
@@ -243,15 +264,21 @@ class Trainer:
             result["metric"] = self.metrics.result()
         return result
 
+    @property
+    def eval_params(self):
+        """Params used for evaluate/predict/save: the EMA average when
+        enabled (the PaddleDet serving convention), else the raw ones."""
+        return self.ema_params if self.ema_for_eval else self.params
+
     def predict(self, inputs):
         x = jnp.asarray(inputs)
-        return self._eval_step(self.params, self.state, x)
+        return self._eval_step(self.eval_params, self.state, x)
 
     # ------------------------------------------------------------------
     def _sync_to_network(self):
         """Write trained arrays back into the live module (for
         network.save_weights / eager use)."""
-        merged = {**self.params, **self.state}
+        merged = {**self.eval_params, **self.state}
         load_state_dict(self.network, merged, strict=False)
 
     def save_weights(self, path: str):
@@ -262,6 +289,8 @@ class Trainer:
         self.network.load_weights(path)
         self.params, self.state = split(self.network)
         self.opt_state = self.optimizer.init(self.params)
+        if self.ema_decay is not None:
+            self.ema_params = dict(self.params)
 
 
 Model = Trainer  # reference spelling: tlx.model.Model
