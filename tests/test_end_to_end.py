@@ -137,3 +137,15 @@ def test_trainer_ema(rng):
         np.testing.assert_allclose(np.asarray(manual[kk]),
                                    np.asarray(tr2.ema_params[kk]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_config_build_trainer_wires_ema():
+    from tlxcv_tpu.config import Config
+
+    c = Config(model="resnet18", model_kwargs={"num_classes": 4},
+               ema_decay=0.99)
+    tr = c.build_trainer()
+    assert tr.ema_decay == 0.99 and tr.ema_params is not None
+    tr2 = Config(model="resnet18",
+                 model_kwargs={"num_classes": 4}).build_trainer()
+    assert tr2.ema_params is None

@@ -112,6 +112,7 @@ class Config:
     batch_size: int = 32
     n_epoch: int = 10
     seed: int = 0
+    ema_decay: tp.Optional[float] = None  # Trainer weight-EMA (e.g. 0.9998)
 
     @classmethod
     def from_file(cls, path):
@@ -146,6 +147,15 @@ class Config:
             "gan": tasks.GAN,
         }
         return names[self.task](self.build_model())
+
+    def build_trainer(self, network=None, **kw):
+        """Task + optimizer + Trainer in one step (EMA wired through)."""
+        from .train import Trainer
+
+        net = network if network is not None else self.build_task()
+        kw.setdefault("ema_decay", self.ema_decay)
+        return Trainer(network=net, optimizer=self.build_optimizer(),
+                       seed=self.seed, **kw)
 
 
 def load_seg_config(path):
