@@ -149,3 +149,33 @@ def test_config_build_trainer_wires_ema():
     tr2 = Config(model="resnet18",
                  model_kwargs={"num_classes": 4}).build_trainer()
     assert tr2.ema_params is None
+
+
+def test_trainer_mixed_precision_bf16(rng):
+    """compute_dtype=bf16: f32 masters/opt/BN-stats, bf16 compute."""
+    import optax
+
+    x, y = make_classification_data(rng, n=32)
+    loader = DataLoader(ArrayPairs(x, y), batch_size=16, shuffle=False)
+    model = ImageClassification(resnet18(num_classes=4))
+    tr = Trainer(model, optimizer=optax.adam(1e-3),
+                 compute_dtype=jnp.bfloat16)
+    xb, yb = tr._put_batch((x[:16], y[:16]))
+    l0 = None
+    for i in range(10):
+        (tr.params, tr.state, tr.opt_state, _, loss, _) = tr._train_step(
+            tr.params, tr.state, tr.opt_state, None, xb, yb,
+            jax.random.key(i))
+        l0 = float(loss) if l0 is None else l0
+    assert float(loss) < l0, (float(loss), l0)
+    # masters, optimizer state and BN stats all stayed f32
+    assert all(v.dtype == jnp.float32 for v in tr.params.values()
+               if jnp.issubdtype(v.dtype, jnp.floating))
+    assert all(v.dtype == jnp.float32 for v in tr.state.values()
+               if jnp.issubdtype(v.dtype, jnp.floating))
+    leaves = jax.tree_util.tree_leaves(tr.opt_state)
+    assert all(l.dtype == jnp.float32 for l in leaves
+               if hasattr(l, "dtype") and jnp.issubdtype(l.dtype,
+                                                         jnp.floating))
+    # and the full train() loop runs under the policy
+    tr.train(n_epoch=1, train_dataset=loader)

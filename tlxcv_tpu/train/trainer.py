@@ -34,7 +34,8 @@ class Trainer:
                  metrics: tp.Optional[Metric] = None, mesh=None, seed: int = 0,
                  loss_has_aux: bool = False, param_sharding: str = "replicated",
                  ema_decay: tp.Optional[float] = None,
-                 ema_for_eval: bool = True):
+                 ema_for_eval: bool = True,
+                 compute_dtype: tp.Optional[tp.Any] = None):
         """``param_sharding="fsdp"`` shards every large parameter over the
         mesh 'data' axis (ZeRO-3; parallel.mesh.fsdp_shardings) — XLA
         inserts the all-gathers/reduce-scatters; the optimizer state
@@ -44,7 +45,15 @@ class Trainer:
         updated inside the SAME jitted train step (the PaddleDet-recipe
         convention the reference models descend from, e.g. PPYOLOE's
         ema/ema_decay 0.9998); ``ema_for_eval`` routes evaluate/predict/
-        save_weights through the averaged weights."""
+        save_weights through the averaged weights.
+
+        ``compute_dtype=jnp.bfloat16`` enables mixed-precision training:
+        master weights, gradients, optimizer state, BN running stats and
+        the loss stay f32; the forward/backward compute runs in bf16
+        (params and float inputs are cast INSIDE the differentiated
+        function so grads flow back to the f32 masters; model outputs
+        are cast to f32 before loss_fn; new batch-stats are cast back to
+        their stored dtypes)."""
         self.network = network
         self.loss_fn = loss_fn if loss_fn is not None else network.loss_fn
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-3)
@@ -70,6 +79,7 @@ class Trainer:
         self.ema_for_eval = ema_for_eval and ema_decay is not None
         # seeded at the trained params so no debiasing is needed
         self.ema_params = dict(self.params) if ema_decay is not None else None
+        self.compute_dtype = compute_dtype
 
         loss_fn = self.loss_fn
 
@@ -86,8 +96,20 @@ class Trainer:
                     self._assigner_switch_epoch = cand.static_assigner_epoch
         takes_epoch = self._assigner_switch_epoch is not None
 
+        compute_dtype = self.compute_dtype
+
+        def _cast_floats(tree, dt):
+            return jax.tree_util.tree_map(
+                lambda v: v.astype(dt)
+                if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+                else v, tree)
+
         def _train_call(module, x, y, epoch_id=0):
+            if compute_dtype is not None:
+                x = _cast_floats(x, compute_dtype)
             out = module(x, epoch_id=epoch_id) if takes_epoch else module(x)
+            if compute_dtype is not None:
+                out = _cast_floats(out, jnp.float32)  # loss math stays f32
             loss = loss_fn(out, y)
             if isinstance(loss, tuple):
                 loss, out = loss[0], loss[1]
@@ -107,12 +129,21 @@ class Trainer:
         @partial(jax.jit, static_argnames=("epoch_id",))
         def train_step(params, state, opt_state, ema, x, y, key, epoch_id=0):
             def lf(p):
+                if compute_dtype is not None:
+                    # cast inside the differentiated fn: grads come back
+                    # through the cast to the f32 master weights
+                    p = _cast_floats(p, compute_dtype)
                 (loss, out), new_state = loss_pure(
                     p, state, x, y, epoch_id, training=True, rngs=Rngs(key))
                 return loss, (out, new_state)
 
             (loss, (out, new_state)), grads = jax.value_and_grad(
                 lf, has_aux=True)(params)
+            if compute_dtype is not None:
+                # batch stats computed from low-precision activations go
+                # back to their stored dtypes (f32 running stats)
+                new_state = jax.tree_util.tree_map(
+                    lambda ns, s: ns.astype(s.dtype), new_state, state)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if ema is not None:  # trace-time branch (ema is None or a dict)
