@@ -32,7 +32,7 @@ class Trainer:
 
     def __init__(self, network: Module, loss_fn=None, optimizer=None,
                  metrics: tp.Optional[Metric] = None, mesh=None, seed: int = 0,
-                 loss_has_aux: bool = False, param_sharding: str = "replicated",
+                 param_sharding: str = "replicated",
                  ema_decay: tp.Optional[float] = None,
                  ema_for_eval: bool = True,
                  compute_dtype: tp.Optional[tp.Any] = None):
@@ -58,7 +58,6 @@ class Trainer:
         self.loss_fn = loss_fn if loss_fn is not None else network.loss_fn
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-3)
         self.metrics = metrics
-        self.loss_has_aux = loss_has_aux
         try:
             self.mesh = get_mesh(mesh)
         except Exception:
