@@ -23,3 +23,21 @@ def test_gather_rows_repeated_and_boundary_indices():
     idx = jnp.asarray([0, 99, 0, 99, 50, 50, 1, 98], jnp.int32)
     out = gather_rows(table, idx, g=8, wave=2, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(table[idx]))
+
+
+def test_multilevel_roi_align_pallas_gather_path_matches_default():
+    import jax.numpy as jnp
+
+    from tlxcv_tpu.ops.roi_align import multilevel_roi_align
+
+    rng = np.random.default_rng(0)
+    feats = [jnp.asarray(rng.normal(size=(2, hw, hw, 8)), jnp.float32)
+             for hw in (32, 16, 8, 4)]
+    lo = jnp.asarray(rng.uniform(2, 80, size=(2, 6, 2)), jnp.float32)
+    wh = jnp.asarray(rng.uniform(4, 40, size=(2, 6, 2)), jnp.float32)
+    boxes = jnp.concatenate([lo, lo + wh], -1)
+    a = multilevel_roi_align(feats, boxes, output_size=7, sampling_ratio=2)
+    b = multilevel_roi_align(feats, boxes, output_size=7, sampling_ratio=2,
+                             gather_impl="pallas", _interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)

@@ -27,9 +27,11 @@ __all__ = ["roi_align", "multilevel_roi_align", "paste_masks"]
 
 
 @functools.partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
-                                             "strides"))
+                                             "strides", "gather_impl",
+                                             "_interpret"))
 def multilevel_roi_align(feats, boxes, output_size: int = 7,
-                         sampling_ratio: int = 2, strides=(4, 8, 16, 32)):
+                         sampling_ratio: int = 2, strides=(4, 8, 16, 32),
+                         gather_impl: str = "xla", _interpret: bool = False):
     """FPN RoIAlign with per-box level selection over a FLATTENED pyramid.
 
     The naive static-shape formulation computes RoIAlign on every level
@@ -78,6 +80,57 @@ def multilevel_roi_align(feats, boxes, output_size: int = 7,
             jnp.maximum(boxes[..., 3] - boxes[..., 1], 1.0))
     k = jnp.floor(4 + jnp.log2(jnp.sqrt(area) / 224.0 + 1e-9))
     k = (jnp.clip(k, 2, 5) - 2).astype(jnp.int32)        # [N, R] in 0..3
+
+    if gather_impl == "pallas":
+        # identical math, but the hot gather is ONE whole-batch Pallas
+        # DMA row-gather (ops/pallas/gather.py) instead of XLA's
+        # generic gather lowering; coordinates/weights are computed
+        # batched (they are cheap VPU math either way)
+        from .pallas.gather import gather_rows
+
+        scale = 1.0 / stride_arr[k]                      # [N, R]
+        b = boxes * scale[..., None]
+        x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+        bin_h = jnp.maximum(y2 - y1, 1.0) / s
+        bin_w = jnp.maximum(x2 - x1, 1.0) / s
+        iy = (jnp.arange(s * sr) + 0.5) / sr
+        ys = y1[..., None] + bin_h[..., None] * iy - 0.5  # [N, R, S]
+        xs = x1[..., None] + bin_w[..., None] * iy - 0.5
+        hk = level_h[k].astype(jnp.float32)[..., None]    # [N, R, 1]
+        wk = level_w[k].astype(jnp.float32)[..., None]
+
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xs)
+        wy1 = (ys - y0)[:, :, :, None]                   # [N, R, S, 1]
+        wx1 = (xs - x0)[:, :, None, :]                   # [N, R, 1, S]
+        y0i = jnp.clip(y0, 0, hk - 1).astype(jnp.int32)
+        x0i = jnp.clip(x0, 0, wk - 1).astype(jnp.int32)
+        vy = ((ys > -1.0) & (ys < hk))[:, :, :, None]
+        vx = ((xs > -1.0) & (xs < wk))[:, :, None, :]
+        valid = (vy & vx)[..., None]
+
+        off = level_off[k][..., None]                    # [N, R, 1]
+        wki = level_w[k][..., None]
+        row0 = off + y0i * wki                           # [N, R, S]
+        idx = row0[:, :, :, None] + x0i[:, :, None, :]   # [N, R, S, S]
+        total = flat.shape[1]
+        gidx = idx + (jnp.arange(n, dtype=jnp.int32) * total
+                      )[:, None, None, None]
+        v = gather_rows(flat.reshape(n * total, 4 * c), gidx.reshape(-1),
+                        interpret=_interpret)
+        v = v.reshape(idx.shape + (4 * c,))
+        v00 = v[..., 0 * c:1 * c]
+        v01 = v[..., 1 * c:2 * c]
+        v10 = v[..., 2 * c:3 * c]
+        v11 = v[..., 3 * c:4 * c]
+        out = (v00 * (1 - wy1[..., None]) * (1 - wx1[..., None])
+               + v01 * (1 - wy1[..., None]) * wx1[..., None]
+               + v10 * wy1[..., None] * (1 - wx1[..., None])
+               + v11 * wy1[..., None] * wx1[..., None])
+        out = jnp.where(valid, out, 0.0)
+        r = out.shape[1]
+        out = out.reshape(n, r, s, sr, s, sr, c)
+        return out.mean(axis=(3, 5))
 
     def per_image(table, bxs, ks):
         scale = 1.0 / stride_arr[ks]                     # [R]
