@@ -121,13 +121,15 @@ class MaskHead(Module):
         return x.reshape((n, r) + x.shape[1:])
 
 
-def _multilevel_roi_align(feats, boxes, output_size, sampling_ratio=2):
+def _multilevel_roi_align(feats, boxes, output_size, sampling_ratio=2,
+                          gather_impl="xla"):
     """RoIAlign with FPN level assignment over the flattened pyramid —
     exactly one level's worth of gathers per box (the round-1
     all-levels + one-hot-select formulation cost 4x the gather volume
     and dominated the 26 img/s profile; ops.roi_align.multilevel_roi_align)."""
     return multilevel_roi_align(feats, boxes, output_size,
-                                sampling_ratio=sampling_ratio)
+                                sampling_ratio=sampling_ratio,
+                                gather_impl=gather_impl)
 
 
 class MaskRCNN(Module):
@@ -136,7 +138,8 @@ class MaskRCNN(Module):
                  box_nms_thresh=0.5, detections_per_image=100,
                  mask_resolution=14, backbone=None, rpn_matrix_nms=False,
                  box_matrix_nms=False, with_mask=True,
-                 mask_sampling_ratio=1, box_sampling_ratio=1):
+                 mask_sampling_ratio=1, box_sampling_ratio=1,
+                 gather_impl="xla"):
         self.rpn_matrix_nms = rpn_matrix_nms
         self.box_matrix_nms = box_matrix_nms
         from ..classification.resnet import ResNet
@@ -165,6 +168,9 @@ class MaskRCNN(Module):
         # head barely uses; sr=2 restores the torchvision default.
         self.mask_sampling_ratio = mask_sampling_ratio
         self.box_sampling_ratio = box_sampling_ratio
+        # "pallas" routes the RoIAlign row-gathers through the DMA
+        # kernel (ops/pallas/gather.py); A/B in probe_gather_kernel.py
+        self.gather_impl = gather_impl
         self._anchor_cache = {}
 
     # ------------------------------------------------------------------
@@ -227,7 +233,8 @@ class MaskRCNN(Module):
                     "proposals": props, "proposal_mask": pmask,
                     "image_hw": images.shape[1:3]}
         pooled = _multilevel_roi_align(feats, props, self.box_roi_size,
-                                       self.box_sampling_ratio)
+                                       self.box_sampling_ratio,
+                                       gather_impl=self.gather_impl)
         hidden = self.box_head(pooled)
         cls_logits = self.cls_score(hidden)     # [N, R, C+1]
         box_deltas = self.bbox_pred(hidden)     # [N, R, 4]
@@ -260,7 +267,8 @@ class MaskRCNN(Module):
         det_boxes = dets[..., 2:6]
         mask_feats = _multilevel_roi_align(feats, det_boxes,
                                            self.mask_resolution,
-                                           self.mask_sampling_ratio)
+                                           self.mask_sampling_ratio,
+                                           gather_impl=self.gather_impl)
         mask_logits = self.mask_head(mask_feats)  # [N, K, 28, 28, C]
         labels = jnp.clip(dets[..., 0].astype(jnp.int32), 0,
                           self.num_classes - 1)
@@ -355,7 +363,8 @@ class MaskRCNN(Module):
             pmask = jnp.maximum(pmask, use_gt.astype(jnp.float32))
         pooled = _multilevel_roi_align(outputs["feats"], props,
                                        self.box_roi_size,
-                                       self.box_sampling_ratio)
+                                       self.box_sampling_ratio,
+                                       gather_impl=self.gather_impl)
         hidden = self.box_head(pooled)
         cls_logits = self.cls_score(hidden)           # [B, R, C+1]
         box_deltas = self.bbox_pred(hidden)           # [B, R, 4]
@@ -409,7 +418,8 @@ class MaskRCNN(Module):
         if gt_masks is not None:
             mask_feats = _multilevel_roi_align(outputs["feats"], props,
                                                self.mask_resolution,
-                                               self.mask_sampling_ratio)
+                                               self.mask_sampling_ratio,
+                                               gather_impl=self.gather_impl)
             mask_logits = self.mask_head(mask_feats)  # [B, R, 2S, 2S, C]
             ms2 = mask_logits.shape[2]
 
