@@ -179,3 +179,29 @@ def test_trainer_mixed_precision_bf16(rng):
                                                          jnp.floating))
     # and the full train() loop runs under the policy
     tr.train(n_epoch=1, train_dataset=loader)
+
+
+def test_trainer_remat_identical_gradients(rng):
+    """remat=True recomputes activations in the backward pass; the
+    resulting update must be bit-identical to the plain step."""
+    import optax
+
+    x, y = make_classification_data(rng, n=16)
+
+    def one_step(remat):
+        from tlxcv_tpu.core.init import set_seed
+
+        set_seed(0)
+        model = ImageClassification(resnet18(num_classes=4))
+        tr = Trainer(model, optimizer=optax.sgd(1e-2), remat=remat)
+        xb, yb = tr._put_batch((x, y))
+        p, s, o, _, loss, _ = tr._train_step(tr.params, tr.state,
+                                             tr.opt_state, None, xb, yb,
+                                             jax.random.key(0))
+        return {k: np.asarray(v) for k, v in p.items()}, float(loss)
+
+    p0, l0 = one_step(False)
+    p1, l1 = one_step(True)
+    assert l0 == l1
+    for k in list(p0)[:8]:
+        np.testing.assert_array_equal(p0[k], p1[k])

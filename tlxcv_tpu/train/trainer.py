@@ -35,7 +35,8 @@ class Trainer:
                  param_sharding: str = "replicated",
                  ema_decay: tp.Optional[float] = None,
                  ema_for_eval: bool = True,
-                 compute_dtype: tp.Optional[tp.Any] = None):
+                 compute_dtype: tp.Optional[tp.Any] = None,
+                 remat: bool = False):
         """``param_sharding="fsdp"`` shards every large parameter over the
         mesh 'data' axis (ZeRO-3; parallel.mesh.fsdp_shardings) — XLA
         inserts the all-gathers/reduce-scatters; the optimizer state
@@ -53,7 +54,13 @@ class Trainer:
         (params and float inputs are cast INSIDE the differentiated
         function so grads flow back to the f32 masters; model outputs
         are cast to f32 before loss_fn; new batch-stats are cast back to
-        their stored dtypes)."""
+        their stored dtypes).
+
+        ``remat=True`` wraps the forward in ``jax.checkpoint`` so the
+        backward pass recomputes activations instead of keeping them in
+        HBM — the standard TPU trade of FLOPs for memory when activation
+        working sets approach the 16 GB/chip ceiling (identical
+        gradients, tested)."""
         self.network = network
         self.loss_fn = loss_fn if loss_fn is not None else network.loss_fn
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-3)
@@ -124,10 +131,12 @@ class Trainer:
         from functools import partial
 
         ema_decay = self.ema_decay
+        do_remat = bool(remat)
+        self.remat = do_remat
 
         @partial(jax.jit, static_argnames=("epoch_id",))
         def train_step(params, state, opt_state, ema, x, y, key, epoch_id=0):
-            def lf(p):
+            def fwd_loss(p):
                 if compute_dtype is not None:
                     # cast inside the differentiated fn: grads come back
                     # through the cast to the f32 master weights
@@ -135,6 +144,8 @@ class Trainer:
                 (loss, out), new_state = loss_pure(
                     p, state, x, y, epoch_id, training=True, rngs=Rngs(key))
                 return loss, (out, new_state)
+
+            lf = jax.checkpoint(fwd_loss) if do_remat else fwd_loss
 
             (loss, (out, new_state)), grads = jax.value_and_grad(
                 lf, has_aux=True)(params)
