@@ -1,0 +1,10 @@
+"""CIFAR-10 ResNet-18 predict (reference demo/image_classification/predict-resnet.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+from _variant_common import predict_classifier
+
+if __name__ == "__main__":
+    predict_classifier("resnet18", **{})

@@ -1,0 +1,10 @@
+"""CIFAR-10 ViT-S/16 predict (reference demo/image_classification/predict-vit.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+from _variant_common import predict_classifier
+
+if __name__ == "__main__":
+    predict_classifier("vit_small_patch16_224", **{})

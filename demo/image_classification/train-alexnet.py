@@ -1,0 +1,10 @@
+"""CIFAR-10 AlexNet train (reference demo/image_classification/train-alexnet.py)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+from _variant_common import train_classifier
+
+if __name__ == "__main__":
+    train_classifier("alexnet", **{})

@@ -87,3 +87,29 @@ def test_detection_demo_pipeline_trains(tiny_coco):
                       optimizer=optimizers.Adam(1e-4))
     trainer.train(n_epoch=1, train_dataset=loader, print_freq=10)
     assert trainer.step == 2
+
+
+def test_classification_variant_demos():
+    """The per-arch train-/predict-<arch>.py pairs (reference demo
+    surface) resolve their factories and share one parameterized flow."""
+    import ast
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "demo", "image_classification")
+    from tlxcv_tpu.config import create_model
+
+    names = []
+    for f in sorted(os.listdir(d)):
+        if f.startswith(("train-", "predict-")) and f.endswith(".py") \
+                and "levit" not in f:
+            tree = ast.parse(open(os.path.join(d, f)).read())
+            calls = [n for n in ast.walk(tree)
+                     if isinstance(n, ast.Call) and isinstance(n.func, ast.Name)
+                     and n.func.id.endswith("_classifier")]
+            assert len(calls) == 1, f
+            names.append(calls[0].args[0].value)
+    assert len(names) == 16, names
+    for n in sorted(set(names)):
+        kw = {"batch_norm": True} if n == "vgg19" else {}
+        create_model(n, num_classes=10, **kw)
