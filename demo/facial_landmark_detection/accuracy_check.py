@@ -138,19 +138,23 @@ def sample(rng, n, augments=None):
         _draw_face(imgs[i, :, :, 0], pts)
         imgs[i, :, :, 1] = imgs[i, :, :, 0] * color
         imgs[i, :, :, 2] = imgs[i, :, :, 0] * (1 - color)
-        roll = np.degrees(rot)
         if augments:
             # reference-recipe augmentation (flip w/ mirror permutation,
-            # rotate, occlude).  The GT roll is left as rendered — the
-            # aux pose term carries weight 0.01 and the small (<=8 deg)
-            # augment rotations are noise the head averages out.
+            # rotate, occlude)
             img, label = imgs[i], {"landmark": pts}
             for t in augments:
                 img, label = t((img, label))
             imgs[i] = img
             pts = np.asarray(label["landmark"], np.float32)
         lms[i] = pts / SIZE                    # normalized [0, 1]
-        rolls[i] = roll
+        # GT roll from the FINAL landmarks (eye-line angle) — the
+        # reference recipe computes euler angles AFTER augmentation
+        # (CalculateEulerAngles last in the pipeline); deriving it from
+        # the rendered rotation would carry the wrong sign on flipped
+        # samples (flip mirrors the apparent roll) and miss the augment
+        # rotation.  For clean samples this equals np.degrees(rot).
+        eye_d = pts[42:48].mean(0) - pts[36:42].mean(0)
+        rolls[i] = np.degrees(np.arctan2(eye_d[1], eye_d[0]))
     eulers = np.stack([np.zeros_like(rolls), np.zeros_like(rolls), rolls],
                       -1)
     return imgs, lms.reshape(n, -1), eulers

@@ -106,7 +106,10 @@ class RandomHorizontalFlip:
             image = cv2.flip(image, 1)
             label = dict(label)
             lm = np.asarray(label["landmark"], np.float32).copy()
-            lm[:, 0] = w - lm[:, 0]
+            # cv2.flip maps column j -> (w-1)-j; the reference's `w - x`
+            # (demo/facial_landmark_detection/transform.py:102) carries a
+            # +1 px systematic offset on every flipped sample
+            lm[:, 0] = (w - 1) - lm[:, 0]
             label["landmark"] = lm[self.mirror_indexes]
         return image, label
 
