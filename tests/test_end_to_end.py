@@ -205,3 +205,31 @@ def test_trainer_remat_identical_gradients(rng):
     assert l0 == l1
     for k in list(p0)[:8]:
         np.testing.assert_array_equal(p0[k], p1[k])
+
+
+def test_trainer_metrics_with_tuple_outputs(rng):
+    """Tuple model outputs (PFLD's (landmarks, features)) + tuple labels
+    must flow through the trainer's metric plumbing (review finding:
+    np.asarray on the pytree crashed)."""
+    from tlxcv_tpu.models.facial_landmark_detection import PFLD
+    from tlxcv_tpu.tasks import FacialLandmarkDetection
+    from tlxcv_tpu.tasks.facial_landmark_detection import NME
+
+    x = rng.normal(size=(4, 112, 112, 3)).astype(np.float32)
+    lm = rng.uniform(0, 1, size=(4, 136)).astype(np.float32)
+    eu = rng.normal(size=(4, 3)).astype(np.float32)
+    loader = DataLoader(ArrayPairs(x, list(zip(lm, eu))), batch_size=2)
+
+    import optax
+
+    model = FacialLandmarkDetection(PFLD(num_landmarks=68))
+
+    def loss_fn(out, target):
+        landmarks, _ = out
+        return ((landmarks - target[0]) ** 2).mean()
+
+    tr = Trainer(model, loss_fn=loss_fn, optimizer=optax.adam(1e-4),
+                 metrics=NME(num_points=68))
+    tr.train(n_epoch=1, train_dataset=loader)
+    res = tr.evaluate(loader)
+    assert np.isfinite(res["loss"]) and np.isfinite(res["metric"])

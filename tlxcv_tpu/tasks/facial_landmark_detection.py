@@ -43,6 +43,8 @@ class NME(Metric):
         self.reset()
 
     def update(self, y_pred, y_true):
+        if isinstance(y_pred, (tuple, list)):
+            y_pred = y_pred[0]  # model output (landmarks, features)
         pred = np.asarray(y_pred)
         if isinstance(y_true, (tuple, list)):
             y_true = y_true[0]

@@ -27,6 +27,13 @@ from ..parallel.mesh import data_parallel_shardings, get_mesh, make_mesh
 from ..utils.metrics import Metric
 
 
+def _host(tree):
+    """Device pytree -> host numpy, preserving tuple/dict structure
+    (tuple model outputs like PFLD's (landmarks, features) would crash a
+    bare np.asarray)."""
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
 class Trainer:
     """Generic trainer; alias `Model` keeps reference-demo spelling."""
 
@@ -121,12 +128,25 @@ class Trainer:
                 loss, out = loss[0], loss[1]
             return loss, out
 
+        def _eval_call(module, x, y, epoch_id=0):
+            # no compute_dtype cast: evaluate() scores the same f32
+            # function predict() serves (the bf16 policy is a TRAINING
+            # compute policy, not an eval quantization)
+            out = module(x, epoch_id=epoch_id) if takes_epoch else module(x)
+            loss = loss_fn(out, y)
+            if isinstance(loss, tuple):
+                loss, out = loss[0], loss[1]
+            return loss, out
+
         self._loss_pure = pure(network, _train_call)
+        self._eval_loss_pure = pure(network, _eval_call)
         self._fwd_pure = pure(network)
 
         repl, shard = data_parallel_shardings(self.mesh)
         optimizer = self.optimizer
         loss_pure = self._loss_pure
+        eval_loss_pure = self._eval_loss_pure
+        fwd_pure = self._fwd_pure
 
         from functools import partial
 
@@ -134,7 +154,13 @@ class Trainer:
         do_remat = bool(remat)
         self.remat = do_remat
 
-        @partial(jax.jit, static_argnames=("epoch_id",))
+        # donate the optimizer state (2x params for Adam — the largest
+        # transiently-doubled buffer).  params/ema are NOT donated: at
+        # step 1 they alias the live module's own arrays (split() boxes),
+        # and donating those invalidates the module for any later eager
+        # use or second Trainer (measured: fatal aborts in the suite).
+        @partial(jax.jit, static_argnames=("epoch_id",),
+                 donate_argnums=(2,))
         def train_step(params, state, opt_state, ema, x, y, key, epoch_id=0):
             def fwd_loss(p):
                 if compute_dtype is not None:
@@ -164,12 +190,13 @@ class Trainer:
 
         @jax.jit
         def eval_step(params, state, x):
-            out, _ = pure(network)(params, state, x, training=False)
+            out, _ = fwd_pure(params, state, x, training=False)
             return out
 
         @jax.jit
         def eval_loss_step(params, state, x, y):
-            (loss, out), _ = loss_pure(params, state, x, y, training=False)
+            (loss, out), _ = eval_loss_pure(params, state, x, y,
+                                            training=False)
             return loss, out
 
         self._train_step = train_step
@@ -228,7 +255,7 @@ class Trainer:
                 self.step += 1
                 losses.append(loss)
                 if self.metrics is not None:
-                    self.metrics.update(np.asarray(out), np.asarray(y))
+                    self.metrics.update(_host(out), _host(y))
                 if print_train_batch:
                     print(f"epoch {epoch + 1} batch {bi} "
                           f"loss {float(loss):.4f}")
@@ -262,11 +289,13 @@ class Trainer:
                 if self.metrics is not None:
                     self.metrics.reset()
                 losses = []
-                for bi, (x, y) in enumerate(train_dataset):
+                from ..data.loader import device_prefetch
+
+                for bi, (x, y) in enumerate(
+                        device_prefetch(train_dataset, self._put_batch)):
                     if (max_steps_per_epoch is not None and
                             bi >= max_steps_per_epoch):
                         break
-                    x, y = self._put_batch((x, y))
                     (self.params, self.state, self.opt_state, self.ema_params,
                      loss, out
                      ) = self._train_step(self.params, self.state,
@@ -276,7 +305,7 @@ class Trainer:
                     self.step += 1
                     losses.append(loss)
                     if self.metrics is not None:
-                        self.metrics.update(np.asarray(out), np.asarray(y))
+                        self.metrics.update(_host(out), _host(y))
                     prog.advance(btask)
                 mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
                 desc = f"[red]Epochs (loss {mean_loss:.4f}"
@@ -299,7 +328,7 @@ class Trainer:
                                              x, y)
             losses.append(loss)
             if self.metrics is not None:
-                self.metrics.update(np.asarray(out), np.asarray(y))
+                self.metrics.update(_host(out), _host(y))
         result = {"loss": float(jnp.mean(jnp.stack(losses))) if losses else 0.0}
         if self.metrics is not None:
             result["metric"] = self.metrics.result()
@@ -329,6 +358,12 @@ class Trainer:
     def load_weights(self, path: str):
         self.network.load_weights(path)
         self.params, self.state = split(self.network)
+        if getattr(self, "param_shardings", None):
+            # re-apply ZeRO-3 placement — split() returns host arrays,
+            # and opt/ema must inherit the sharded layout
+            from ..parallel.mesh import place_params
+
+            self.params = place_params(self.params, self.param_shardings)
         self.opt_state = self.optimizer.init(self.params)
         if self.ema_decay is not None:
             self.ema_params = dict(self.params)
