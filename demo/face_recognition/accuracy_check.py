@@ -147,10 +147,13 @@ def _verify(embed_fn, params, state, id_base, seed):
     half.  Returns (acc, threshold, n_pos)."""
     n_ids, per = 16, 8
     eval_rng = np.random.default_rng(seed)
-    embs = np.zeros((n_ids, per, 128), np.float32)
+    embs = None
     for i in range(n_ids):
         imgs = np.stack([render(id_base + i, eval_rng) for _ in range(per)])
-        embs[i] = np.asarray(embed_fn(params, state, jnp.asarray(imgs)))
+        e = np.asarray(embed_fn(params, state, jnp.asarray(imgs)))
+        if embs is None:   # sized from the model, not a hardcoded dim
+            embs = np.zeros((n_ids, per, e.shape[-1]), np.float32)
+        embs[i] = e
 
     pos, neg = [], []
     for i in range(n_ids):

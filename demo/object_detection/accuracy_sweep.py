@@ -193,7 +193,7 @@ REGISTRY = {
     "tood": (_tood, 2000, 1e-3, 0.70),
     "yolox_s": (_yolox, 2000, 1e-3, 0.70),
     "picodet": (_picodet, 3000, 2e-3, 0.60),
-    "ppyoloe_s": (_ppyoloe_s, 2000, 1e-3, 0.70),
+    "ppyoloe_s": (_ppyoloe_s, 2000, 1e-3, 0.62),  # measured .712 — keep the ~10-15% headroom convention
     "centernet": (_centernet, 3000, 1e-3, 0.55),
     "ttfnet": (_ttfnet, 3000, 1e-3, 0.55),
     "ssd": (_ssd, 3000, 1e-3, 0.50),
@@ -242,6 +242,12 @@ def run_model(name, steps=None, log_every=500):
     build, default_steps, lr, floor = REGISTRY[name]
     adapt = TARGET_ADAPTERS.get(name, lambda t: t)
     steps = steps or default_steps
+    # weight init draws from core.init's GLOBAL host RNG (CLAUDE.md):
+    # without a per-model reset, each model's init depends on which
+    # models ran before it, making CLI-subset runs irreproducible
+    from tlxcv_tpu.core.init import set_seed
+
+    set_seed(0)
     model = build()
     params, state = split(model)
     lp = pure(model, lambda m, v, t: m.loss_fn(m(v), t))

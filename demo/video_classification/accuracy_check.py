@@ -112,8 +112,8 @@ def main(steps=400, batch_size=16):
     predict = jax.jit(lambda p, s, x: pred(p, s, x, training=False)[0])
     eval_rng = np.random.default_rng(999)
     correct = total = 0
-    for _ in range(128 // batch_size):
-        x, y = batch(eval_rng, batch_size)
+    for _ in range(8):                     # 8 x 16 = the documented 128
+        x, y = batch(eval_rng, 16)
         per_frame = np.asarray(predict(params, state, x))  # [B, T']
         votes = [np.bincount(f, minlength=NC).argmax() for f in per_frame]
         correct += int(np.sum(np.asarray(votes) == y))

@@ -151,3 +151,47 @@ def test_sdpa_use_flash_wiring(rng, monkeypatch):
     ref = scaled_dot_product_attention(q, k, v, mask=mask)
     out = scaled_dot_product_attention(q, k, v, mask=mask, use_flash=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_attention_fully_masked_rows_no_nan():
+    """-inf bias entries must not poison the online softmax (review
+    finding: a query tile whose entire first kv-block is masked left
+    m = -inf and p = exp(-inf - -inf) = NaN)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tlxcv_tpu.ops.pallas.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    bh, s, d = 2, 64, 32
+    q = jnp.asarray(rng.normal(size=(bh, s, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(bh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(bh, s, d)), jnp.float32)
+    # block-diagonal mask: query i attends only within its 32-segment;
+    # with block_k=32 the first kv block is FULLY masked for the second
+    # segment's queries
+    seg = np.arange(s) // 32
+    mask = np.where(seg[:, None] == seg[None, :], 0.0, -np.inf)
+    bias = jnp.asarray(np.broadcast_to(mask, (1, s, s)), jnp.float32)
+    out = flash_attention(q, k, v, bias=bias, block_q=32, block_k=32,
+                          interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
+    # matches the XLA reference under the same mask
+    scale = d ** -0.5
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale + bias
+    ref = jnp.einsum("bqk,bkd->bqd", jax.nn.softmax(logits, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_flash_attention_rejects_bad_bias_leading_dim():
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from tlxcv_tpu.ops.pallas.attention import flash_attention
+
+    q = jnp.zeros((4, 16, 32), jnp.float32)
+    with pytest.raises(ValueError):
+        flash_attention(q, q, q, bias=jnp.zeros((2, 16, 16)),
+                        interpret=True)

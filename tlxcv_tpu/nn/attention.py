@@ -47,8 +47,18 @@ def _flash_sdpa(q, k, v, mask, scale):
     qf, kf, vf = (t.reshape(bh, t.shape[-2], d) for t in (q, k, v))
     bias = None
     if mask is not None:
-        bias = jnp.broadcast_to(mask, (*lead, s, k.shape[-2]))
-        bias = bias.reshape(bh, s, k.shape[-2])
+        kv = k.shape[-2]
+        if mask.ndim <= 2 or all(n == 1 for n in mask.shape[:-2]):
+            # batch/head-invariant mask (e.g. TrOCR's causal triu):
+            # pass the kernel's [1, S, S] form instead of materializing
+            # a BH-times-copied bias in HBM
+            bias = jnp.broadcast_to(mask, (1, s, kv)
+                                    if mask.ndim <= 2
+                                    else (*mask.shape[:-2], s, kv))
+            bias = bias.reshape(1, s, kv)
+        else:
+            bias = jnp.broadcast_to(mask, (*lead, s, kv))
+            bias = bias.reshape(bh, s, kv)
     # nb=16/(256,256) is the probed sweet spot at CV sequence lengths
     nb = max(1, min(16, bh))
     while bh % nb:

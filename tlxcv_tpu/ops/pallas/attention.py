@@ -64,6 +64,11 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref, *,
         if bias_ref is not None:
             s = s + bias_ref[0 if bias_ref.shape[0] == 1 else b2].astype(
                 jnp.float32)
+            # clamp -inf bias entries: a fully-masked tile would leave
+            # m = -inf and p = exp(-inf - -inf) = NaN, poisoning l/acc
+            # for every later block (the sdpa mask contract is additive
+            # -inf for disallowed positions)
+            s = jnp.maximum(s, _NEG)
         s = jnp.where(col_ok, s, _NEG)
 
         m_prev = m_ref[b2][:, :1]                      # [block_q, 1]
@@ -108,6 +113,9 @@ def flash_attention(q, k, v, bias=None, scale=None, block_q=128,
     keeps the native head_dim lane (halves QK/PV FLOPs at D=64 if the
     toolchain accepts the narrow lane).  Returns [BH, S, D]."""
     bh, s_real, d = q.shape
+    if bias is not None and bias.shape[0] not in (1, bh):
+        raise ValueError(f"bias leading dim {bias.shape[0]} must be 1 or "
+                         f"BH={bh} (per-head bias must be pre-broadcast)")
     scale = float(d ** -0.5) if scale is None else float(scale)
     sq = -(-s_real // block_q) * block_q
     sk = -(-s_real // block_k) * block_k
