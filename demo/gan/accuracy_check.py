@@ -4,8 +4,11 @@ VERDICT r2 weak #3: the GanValidator (PSNR/SSIM/FID) was wired but no
 recipe was ever driven to a quality bar.  PReNet deraining is
 supervised (rainy -> clean), so it admits an exact hermetic loop: a
 procedural rain fixture (smooth colored scenes + synthetic diagonal
-rain streaks), the configs/gan/prenet.yaml recipe's Trainer, and the
-existing GanValidator scoring PSNR/SSIM exactly as the reference's
+rain streaks), the configs/gan/prenet.yaml recipe's MODEL + VALIDATOR
+(training itself uses a jitted adam/cosine loop — the recipe's
+milestone schedule spans 100 epochs of real data and is not meaningful
+at fixture scale), and the existing GanValidator scoring PSNR/SSIM
+exactly as the reference's
 validate spec declares them (reference
 tlxcv/models/gan/configs/prenet.yaml validate.metrics:
 PSNR/SSIM crop_border=0 test_y_channel).
@@ -113,9 +116,12 @@ def main(steps=1200):
     # identity baseline: how bad is the rainy input itself?
     from tlxcv_tpu.utils import image_metrics as im
 
+    # same metric as the validator (Y-channel per the recipe's
+    # test_y_channel: true) — an RGB baseline would run ~1-3 dB lower
+    # and silently weaken the margin check
     base_psnr = float(np.mean([
         np.mean(np.asarray(im.psnr(jnp.asarray(x), jnp.asarray(y),
-                                   input_range="01")))
+                                   input_range="01", test_y_channel=True)))
         for x, y in val_batches]))
 
     def sample_fn(b):

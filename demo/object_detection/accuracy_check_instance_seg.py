@@ -191,14 +191,9 @@ def run_solov2(steps=4000):
         for j, i in enumerate(idxs):
             n = int(counts[j])
             bin_m = masks[j, :n] > 0.5
-            # boxes from masks (only used for bbox-free segm protocol's
-            # det area ignore rule; derive tight boxes)
-            bx = np.zeros((n, 4), np.float32)
-            for q in range(n):
-                ys, xs = np.where(bin_m[q])
-                if len(ys):
-                    bx[q] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
-            preds.append({"boxes": bx, "scores": scores[j, :n],
+            # no boxes: the segm protocol derives detection areas from
+            # the masks themselves (coco_eval._prepare_image)
+            preds.append({"scores": scores[j, :n],
                           "labels": cls[j, :n].astype(int),
                           "masks": bin_m})
         gts.extend(_gather_gts(val, idxs))
@@ -224,7 +219,14 @@ def main(names):
         results = [x for x in results if x["model"] != name] + [r]
         with open(out_path, "w") as f:
             json.dump(sorted(results, key=lambda x: x["model"]), f, indent=1)
-    bad = [r["model"] for r in results if not r["pass"]]
+    # re-gate stale (merged) entries against the CURRENT floors, not
+    # the pass flag recorded by whichever revision produced them
+    def ok(r):
+        fl = FLOORS[r["model"]]
+        keys = {"segm": "segm_map", "bbox": "bbox_map"}
+        return all(r.get(keys[k], -1) >= v for k, v in fl.items())
+
+    bad = [r["model"] for r in results if not ok(r)]
     if bad:
         raise SystemExit(f"below floor: {bad}")
 

@@ -34,7 +34,8 @@ __all__ = ["recalibrate_batch_stats"]
 
 def recalibrate_batch_stats(model: Module, params: dict, state: dict,
                             batches: tp.Iterable,
-                            forward: tp.Union[str, tp.Callable] = "__call__"):
+                            forward: tp.Union[str, tp.Callable] = "__call__",
+                            rngs=None):
     """Return a new ``state`` whose BN running stats are the exact
     average of per-batch statistics of ``model(params)`` over
     ``batches`` (weights frozen).
@@ -42,7 +43,14 @@ def recalibrate_batch_stats(model: Module, params: dict, state: dict,
     ``batches`` yields forward-arg tuples (or a single array per batch).
     ``forward`` selects the method to drive (as in ``pure``); stats of
     layers the chosen forward does not execute are left untouched.
+    ``rngs`` (a seed int, jax key, or core.module.Rngs) is required for
+    models whose training-mode forward draws randomness (Dropout/
+    DropPath raise without it).
     """
+    from ..core.module import Rngs
+
+    if rngs is not None and not isinstance(rngs, Rngs):
+        rngs = Rngs(jax.random.key(rngs) if isinstance(rngs, int) else rngs)
     from ..nn.layers import BatchNorm
 
     bns = [m for _, m in model.modules() if isinstance(m, BatchNorm)]
@@ -54,7 +62,7 @@ def recalibrate_batch_stats(model: Module, params: dict, state: dict,
 
         @jax.jit
         def batch_stats(p, s, args):
-            return fwd(p, s, *args, training=True)[1]
+            return fwd(p, s, *args, training=True, rngs=rngs)[1]
 
         stat_keys = {path for path, v in iter_variables(model, BatchStat)}
         acc: tp.Optional[dict] = None

@@ -83,10 +83,14 @@ def _flat_masks(m):
 
 
 def _mask_iou(det_m, gt_m, iscrowd):
-    """Mask IoU on binary [N, H, W] arrays; crowd uses inter/det_area."""
-    d = _flat_masks(det_m)
-    g = _flat_masks(gt_m)
-    inter = (d[:, None, :] & g[None, :, :]).sum(-1).astype(np.float64)
+    """Mask IoU on binary [N, H, W] arrays; crowd uses inter/det_area.
+
+    Intersections via matmul — the broadcast formulation materializes a
+    [Nd, Ng, H*W] bool (≈4 GB at 100x100 dets/GTs on 640² masks); the
+    f32 product keeps it O(Nd*Ng)."""
+    d = _flat_masks(det_m).astype(np.float32)
+    g = _flat_masks(gt_m).astype(np.float32)
+    inter = (d @ g.T).astype(np.float64)
     da = d.sum(-1).astype(np.float64)[:, None]
     ga = g.sum(-1).astype(np.float64)[None, :]
     union = np.where(iscrowd[None, :], da, da + ga - inter)
@@ -287,21 +291,28 @@ def compute_coco_stats(predictions, ground_truths, iou_type="bbox",
     precision = -np.ones((T, R, K, A, M))
     recall = -np.ones((T, K, A, M))
 
+    md_max = max(max_dets)
     for ki, cls in enumerate(classes):
         for ai, rng in enumerate(rngs):
+            # one greedy match per (class, area) at the LARGEST maxDets;
+            # smaller tiers slice the per-image score-ordered prefix
+            # (greedy matching has the prefix property — pycocotools
+            # does exactly this in accumulate)
+            evs = [_evaluate_img(pr, cls, rng, md_max, iou_thrs)
+                   for pr in preps]
+            evs = [e for e in evs if e is not None]
+            if not evs:
+                continue
+            n_gt = sum(e["n_gt"] for e in evs)
+            if n_gt == 0:
+                continue
             for mi, md in enumerate(max_dets):
-                evs = [_evaluate_img(pr, cls, rng, md, iou_thrs)
-                       for pr in preps]
-                evs = [e for e in evs if e is not None]
-                if not evs:
-                    continue
-                n_gt = sum(e["n_gt"] for e in evs)
-                if n_gt == 0:
-                    continue
-                scores = np.concatenate([e["scores"] for e in evs])
+                scores = np.concatenate([e["scores"][:md] for e in evs])
                 order = np.argsort(-scores, kind="mergesort")
-                dtm = np.concatenate([e["dtm"] for e in evs], 1)[:, order]
-                dt_ig = np.concatenate([e["dt_ig"] for e in evs], 1)[:, order]
+                dtm = np.concatenate([e["dtm"][:, :md] for e in evs],
+                                     1)[:, order]
+                dt_ig = np.concatenate([e["dt_ig"][:, :md] for e in evs],
+                                       1)[:, order]
                 tps = dtm & ~dt_ig
                 fps = ~dtm & ~dt_ig
                 tp_cum = np.cumsum(tps, 1).astype(np.float64)
@@ -357,7 +368,8 @@ def compute_coco_stats(predictions, ground_truths, iou_type="bbox",
             _summ(False, area="large"),
         ]
 
-    ai_all = area_names.index("all")
+    # custom area_rngs may omit "all" — fall back to the first range
+    ai_all = area_names.index("all") if "all" in area_names else 0
     per_class = {}
     for ki, cls in enumerate(classes):
         s = precision[:, :, ki, ai_all, M - 1]
