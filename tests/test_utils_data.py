@@ -301,3 +301,40 @@ def test_device_prefetch_order_and_early_stop():
 
     # shorter than depth
     assert list(device_prefetch(range(2), put, depth=4)) == [0, 10]
+
+
+def test_prefetch_delivers_all_batches_to_slow_consumer():
+    """Review finding: the sentinel-eviction path dropped one real batch
+    per epoch whenever the consumer was slower than the loader."""
+    import time
+
+    import numpy as np
+
+    from tlxcv_tpu.data import DataLoader
+
+    class DS:
+        def __getitem__(self, i):
+            return np.float32([i]), np.int32(i)
+
+        def __len__(self):
+            return 24
+
+    got = []
+    for _, y in DataLoader(DS(), batch_size=2, prefetch=2):
+        time.sleep(0.03)  # slower than host collation
+        got.append(int(y[0]))
+    assert len(got) == 12 and got == sorted(got), got
+
+
+def test_collate_namedtuple():
+    import collections
+
+    import numpy as np
+
+    from tlxcv_tpu.data.loader import default_collate
+
+    Sample = collections.namedtuple("Sample", ["image", "label"])
+    out = default_collate([Sample(np.zeros((2, 2), np.float32), 1),
+                           Sample(np.ones((2, 2), np.float32), 2)])
+    assert isinstance(out, Sample)
+    assert out.image.shape == (2, 2, 2) and list(out.label) == [1, 2]

@@ -15,6 +15,8 @@ import numpy as np
 
 def default_collate(samples):
     elem = samples[0]
+    if isinstance(elem, tuple) and hasattr(elem, "_fields"):  # namedtuple
+        return type(elem)(*(default_collate(list(s)) for s in zip(*samples)))
     if isinstance(elem, (tuple, list)):
         return type(elem)(default_collate(list(s)) for s in zip(*samples))
     if isinstance(elem, dict):
@@ -82,17 +84,18 @@ class DataLoader:
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                while True:
+                # Block-put the sentinel with the same stop-polling loop
+                # as batches: the old eviction path (get_nowait to make
+                # room) DISCARDED a real undelivered batch whenever the
+                # consumer was slower than the loader — one silently
+                # dropped batch per epoch.  If stop is set the consumer
+                # is gone and no sentinel is needed.
+                while not stop.is_set():
                     try:
-                        q.put_nowait(sentinel)
+                        q.put(sentinel, timeout=0.1)
                         break
                     except queue.Full:
-                        if stop.is_set():
-                            break
-                        try:
-                            q.get_nowait()  # make room for the sentinel
-                        except queue.Empty:
-                            pass
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

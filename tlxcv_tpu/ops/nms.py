@@ -146,7 +146,13 @@ def matrix_nms(bboxes, scores, score_threshold: float = 0.05,
 
         iou = pairwise_iou(boxes, boxes)
         same = cls_id[:, None] == cls_id[None, :]
-        higher = conf[:, None] < conf[None, :]
+        # conf is already sorted by top_k, so index order breaks score
+        # ties (SOLOv2's triu(diagonal=1) semantics) — with a strict <
+        # alone, two bit-identical scores never decayed each other and
+        # duplicate boxes both survived at full score
+        rank = jnp.arange(conf.shape[0])
+        higher = (conf[:, None] < conf[None, :]) | (
+            (conf[:, None] == conf[None, :]) & (rank[:, None] > rank[None, :]))
         decay_iou = jnp.where(same & higher, iou, 0.0)
         max_decay = decay_iou.max(axis=1)
         if use_gaussian:

@@ -1,7 +1,9 @@
 """RoIAlign — static-shape bilinear region pooling (BASELINE config #5:
 Mask R-CNN needs RPN + RoIAlign + mask paste; the reference snapshot has
 no Mask R-CNN source, so this is built to the published op semantics,
-matching torchvision.ops.roi_align with aligned=False).
+matching torchvision.ops.roi_align with aligned=True — the half-pixel
+convention Detectron2 uses; sample coords subtract 0.5 before bilinear
+lookup).
 
 Implementation: for each RoI output cell, `sampling_ratio`^2 bilinear
 samples averaged — expressed as four gathers + weights over the feature
@@ -99,14 +101,16 @@ def multilevel_roi_align(feats, boxes, output_size: int = 7,
         hk = level_h[k].astype(jnp.float32)[..., None]    # [N, R, 1]
         wk = level_w[k].astype(jnp.float32)[..., None]
 
+        vy = ((ys > -1.0) & (ys < hk))[:, :, :, None]
+        vx = ((xs > -1.0) & (xs < wk))[:, :, None, :]
+        ys = jnp.clip(ys, 0, hk - 1)   # torchvision edge clamp (ly=0)
+        xs = jnp.clip(xs, 0, wk - 1)
         y0 = jnp.floor(ys)
         x0 = jnp.floor(xs)
         wy1 = (ys - y0)[:, :, :, None]                   # [N, R, S, 1]
         wx1 = (xs - x0)[:, :, None, :]                   # [N, R, 1, S]
-        y0i = jnp.clip(y0, 0, hk - 1).astype(jnp.int32)
-        x0i = jnp.clip(x0, 0, wk - 1).astype(jnp.int32)
-        vy = ((ys > -1.0) & (ys < hk))[:, :, :, None]
-        vx = ((xs > -1.0) & (xs < wk))[:, :, None, :]
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
         valid = (vy & vx)[..., None]
 
         off = level_off[k][..., None]                    # [N, R, 1]
@@ -144,14 +148,16 @@ def multilevel_roi_align(feats, boxes, output_size: int = 7,
         hk = level_h[ks].astype(jnp.float32)[:, None]    # [R, 1]
         wk = level_w[ks].astype(jnp.float32)[:, None]
 
+        vy = ((ys > -1.0) & (ys < hk))[:, :, None]
+        vx = ((xs > -1.0) & (xs < wk))[:, None, :]
+        ys = jnp.clip(ys, 0, hk - 1)   # torchvision edge clamp (ly=0)
+        xs = jnp.clip(xs, 0, wk - 1)
         y0 = jnp.floor(ys)
         x0 = jnp.floor(xs)
         wy1 = (ys - y0)[:, :, None]                      # [R, S, 1]
         wx1 = (xs - x0)[:, None, :]                      # [R, 1, S]
-        y0i = jnp.clip(y0, 0, hk - 1).astype(jnp.int32)
-        x0i = jnp.clip(x0, 0, wk - 1).astype(jnp.int32)
-        vy = ((ys > -1.0) & (ys < hk))[:, :, None]
-        vx = ((xs > -1.0) & (xs < wk))[:, None, :]
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
         valid = (vy & vx)[..., None]
 
         off = level_off[ks][:, None]                     # [R, 1]
@@ -180,16 +186,21 @@ def multilevel_roi_align(feats, boxes, output_size: int = 7,
 def _bilinear_gather(feat, ys, xs):
     """feat [H, W, C]; ys/xs [...] float coords -> [..., C]."""
     h, w, c = feat.shape
+    # out-of-bounds samples contribute zero (torchvision semantics)
+    valid = ((ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w))[..., None]
+    # clamp BEFORE the weights: torchvision's bilinear_interpolate sets
+    # y<=0 -> y=0 (ly=0, row 0 exactly); the unclamped floor blended
+    # rows 0/1 for samples in (-1, 0)
+    ys = jnp.clip(ys, 0, h - 1)
+    xs = jnp.clip(xs, 0, w - 1)
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     wy1 = ys - y0
     wx1 = xs - x0
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y0i = y0.astype(jnp.int32)
     y1i = jnp.clip(y0i + 1, 0, h - 1)
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x0i = x0.astype(jnp.int32)
     x1i = jnp.clip(x0i + 1, 0, w - 1)
-    # out-of-bounds samples contribute zero (torchvision semantics)
-    valid = ((ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w))[..., None]
 
     def g(yi, xi):
         return feat[yi, xi]
@@ -255,8 +266,8 @@ def paste_masks(masks, boxes, image_hw):
         xs = (jnp.arange(w) + 0.5 - x1) / bw * m - 0.5
         yy = jnp.broadcast_to(ys[:, None], (h, w))
         xx = jnp.broadcast_to(xs[None, :], (h, w))
-        vals = _bilinear_gather(mask[..., None], yy, xx)[..., 0]
-        inside = ((yy > -1.0) & (yy < m) & (xx > -1.0) & (xx < m))
-        return jnp.where(inside, vals, 0.0)
+        # _bilinear_gather already zeroes out-of-bounds samples with
+        # this exact (> -1, < size) condition
+        return _bilinear_gather(mask[..., None], yy, xx)[..., 0]
 
     return jax.vmap(per_roi)(masks, boxes)

@@ -119,6 +119,10 @@ def convert_array(src: np.ndarray, dst_shape: tuple,
         cand = np.transpose(src, (2, 3, 0, 1))  # IOHW -> HWIO
         if cand.shape == tuple(dst_shape):
             return cand
+        # do NOT fall through to the regular-conv OIHW transpose: on a
+        # grouped transposed conv it can shape-match with the in/out
+        # axes crossed across groups (silently wrong weights)
+        return None
     if tuple(src.shape) == tuple(dst_shape):
         return src
     if src.ndim == 4 and len(dst_shape) == 4:
@@ -213,8 +217,6 @@ def _kernel_kind_paths(module) -> tuple:
     return lin, ct
 
 
-def _linear_weight_paths(module) -> set:
-    return _kernel_kind_paths(module)[0]
 
 
 def _normalize_name(name: str) -> str:
@@ -290,13 +292,20 @@ def convert_by_order(src_state: tp.Mapping[str, np.ndarray], module,
     dst_items = [(path, var) for di, (path, var) in enumerate(dst_all)
                  if di not in named_dst]
     src_items = [it for j, it in enumerate(src_items) if j not in used_src]
-    si = 0
+    # The window always starts at the stream head and skipped entries
+    # REMAIN in it: torch emits a module's direct parameters before its
+    # submodules, so the dst traversal legitimately needs entries that
+    # were passed over earlier (e.g. LeViT's attention_biases).  The
+    # cost is a known limitation: an EXTRA source entry (absent from the
+    # model) whose shape+kind matches a later dst slot can mis-map it —
+    # the name pass, kind constraint, strict mode and the parity-test
+    # battery are the guards.
     for path, var in dst_items:
         shape = tuple(np.asarray(var.value).shape)
         dst_kind = _param_kind(path)
         found = None
         # search a small window ahead for a shape+kind-compatible entry
-        for j in range(si, min(si + lookahead, len(src_items))):
+        for j in range(0, min(lookahead, len(src_items))):
             if not _kinds_compatible(_param_kind(src_items[j][0]), dst_kind):
                 continue
             cand = convert_array(src_items[j][1], shape, source,
@@ -308,17 +317,15 @@ def convert_by_order(src_state: tp.Mapping[str, np.ndarray], module,
         if found is None:
             unmatched.append((path, shape))
             if strict:
-                near = [(k, v.shape) for k, v in src_items[si:si + 4]]
+                near = [(k, v.shape) for k, v in src_items[:4]]
                 raise ValueError(
                     f"convert_by_order: no source match for {path} {shape} "
                     f"(kind={dst_kind}); next source entries: {near}")
             continue
         j, arr = found
-        if verbose and j != si:
-            print(f"  skipped {j - si} source entries before {path}")
+        if verbose and j:
+            print(f"  skipped {j} source entries before {path}")
         matches.append((src_items[j][0], path))
-        import jax.numpy as jnp
-
         var.value = jnp.asarray(arr, np.asarray(var.value).dtype)
         del src_items[j]
     if report is not None:
