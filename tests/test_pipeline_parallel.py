@@ -58,3 +58,18 @@ def test_pipeline_grads_flow(rng):
 
     g_ref = jax.grad(serial_loss)(stacked)
     np.testing.assert_allclose(gw, np.asarray(g_ref["w"]), atol=1e-5)
+
+
+def test_pipeline_rejects_stage_count_mismatch():
+    """16 stacked stages on an 8-wide axis would silently skip layers."""
+    import numpy as np
+    import pytest
+
+    from tlxcv_tpu.parallel import make_mesh
+
+    mesh = make_mesh(1, 8)
+    stacked = {"w": jnp.ones((16, 4, 4))}
+    x = jnp.ones((8, 4))
+    with pytest.raises(AssertionError):
+        pipeline_apply(lambda p, a: a @ p["w"], stacked, x, mesh,
+                       axis="model", microbatches=4)

@@ -211,17 +211,24 @@ def state_dict(module, kind: tp.Optional[type] = None) -> dict[str, jax.Array]:
 def load_state_dict(module, d: tp.Mapping[str, tp.Any], strict: bool = True):
     """Write arrays from ``d`` back into the module's Variable boxes."""
     seen = set()
+    uncovered = []
     for path, v in iter_variables(module):
         if path in d:
             v.value = d[path]
             seen.add(path)
-        elif strict and d:
-            pass
+        else:
+            uncovered.append(path)
     if strict:
         missing = set(d) - seen
         if missing:
             raise KeyError(f"load_state_dict: {len(missing)} unmatched keys, e.g. "
                            f"{sorted(missing)[:5]}")
+        if uncovered and d:
+            # torch strict semantics: a checkpoint that covers only part
+            # of the model must raise, not leave random init in place
+            raise KeyError(
+                f"load_state_dict: {len(uncovered)} module variables not "
+                f"in the checkpoint, e.g. {uncovered[:5]}")
     return module
 
 

@@ -24,7 +24,14 @@ import jax.numpy as jnp
 try:  # jax >= 0.8 moved shard_map out of experimental
     from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    # the experimental signature takes check_rep, not check_vma
+    from jax.experimental.shard_map import shard_map as _sm
+
+    def shard_map(f=None, *, check_vma=None, **kw):  # noqa: D401
+        if check_vma is not None:
+            kw["check_rep"] = check_vma
+        return _sm(f, **kw) if f is not None else (
+            lambda g: _sm(g, **kw))
 from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["pipeline_apply", "stack_stage_params"]
@@ -48,6 +55,11 @@ def pipeline_apply(stage_fn, stacked_params, x, mesh: Mesh,
     CPU mesh).
     """
     s_stages = mesh.shape[axis]
+    n_stacked = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    # each device takes params[0] of its slice: a stacked stage count
+    # larger than the axis would SILENTLY skip layers
+    assert n_stacked == s_stages, (
+        f"{n_stacked} stacked stages != mesh axis {axis!r} size {s_stages}")
     b = x.shape[0]
     assert b % microbatches == 0, (b, microbatches)
     mbs = x.reshape((microbatches, b // microbatches) + x.shape[1:])

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import nn
+from ..core.module import is_training
 
 
 class OpticalCharacterRecognition(nn.Module):
@@ -14,8 +15,12 @@ class OpticalCharacterRecognition(nn.Module):
 
     def __call__(self, inputs):
         # train-mode forward is identity on inputs: the loss re-runs the
-        # decoder with teacher forcing (reference :23-37)
-        return inputs
+        # decoder with teacher forcing (reference :23-37).  Eval-mode
+        # forward runs the backbone (reference forward :14-18) so
+        # generic eval paths do not silently operate on raw images.
+        if is_training():
+            return inputs
+        return self.backbone(inputs)
 
     def loss_fn(self, output, target):
         return self.backbone.loss_fn(output, target)
@@ -40,6 +45,8 @@ def edit_distance(a, b):
 
 def character_error_rate(predictions, references):
     """CER over lists of strings (reference valid() used jiwer :40-66)."""
+    assert len(predictions) == len(references), \
+        (len(predictions), len(references))
     errors = sum(edit_distance(p, r) for p, r in zip(predictions, references))
     total = sum(len(r) for r in references)
     return errors / max(total, 1)
