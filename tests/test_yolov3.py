@@ -16,7 +16,9 @@ DS = (32, 16, 8)
 
 def np_gt2yolo(gt_boxes, gt_class, gt_score, h, w, num_classes):
     """Literal numpy port of reference Gt2YoloTarget.__call__ semantics
-    (yolov3.py:608-672) for a single image."""
+    (yolov3.py:608-672) for a single image, with the repo's documented
+    deviation: tx/ty clamped to [0, 1] (round binning can push the
+    reference's raw targets outside the BCE range)."""
     an_hw = np.asarray(ANCHORS, np.float32) / np.asarray([[w, h]], np.float32)
     targets = []
     for mask, ds in zip(MASKS, DS):
@@ -36,8 +38,8 @@ def np_gt2yolo(gt_boxes, gt_class, gt_score, h, w, num_classes):
             if best in mask:
                 n = mask.index(best)
                 ax, ay = ANCHORS[best]
-                tgt[gj, gi, n, 0] = gx * gw_ - gi
-                tgt[gj, gi, n, 1] = gy * gh_ - gj
+                tgt[gj, gi, n, 0] = min(max(gx * gw_ - gi, 0.0), 1.0)
+                tgt[gj, gi, n, 1] = min(max(gy * gh_ - gj, 0.0), 1.0)
                 tgt[gj, gi, n, 2] = np.log(gw * w / ax)
                 tgt[gj, gi, n, 3] = np.log(gh * h / ay)
                 tgt[gj, gi, n, 4] = 2.0 - gw * gh
@@ -154,3 +156,58 @@ def test_yolov3_iou_aware_branch(rng):
     head_grads = [np.abs(np.asarray(v)).max()
                   for k, v in grads.items() if "yolo_outputs" in k]
     assert max(head_grads) > 0
+
+
+def test_gt2yolo_duplicate_slot_is_deterministic_later_wins():
+    """Two GTs sharing (cell, best anchor): the scan stamps the LATER GT
+    (the reference's sequential loop semantics) — a one-shot scatter
+    with duplicate indices is unspecified in XLA."""
+    h = w = 416
+    nc = 3
+    boxes = np.zeros((1, 4, 4), np.float32)
+    # identical centers and wh -> same cell, same best anchor
+    boxes[0, 0] = [0.5, 0.5, 0.2, 0.3]
+    boxes[0, 1] = [0.5, 0.5, 0.2, 0.3]
+    cls = np.zeros((1, 4), np.int32)
+    cls[0, 0], cls[0, 1] = 1, 2
+    score = np.zeros((1, 4), np.float32)
+    score[0, :2] = 1.0
+    got = gt2yolo_targets(jnp.asarray(boxes), jnp.asarray(cls),
+                          jnp.asarray(score), ANCHORS, MASKS, DS,
+                          (h, w), nc)
+    stamped = [np.asarray(g[0]) for g in got]
+    # exactly one slot stamped, with GT 1's class (later wins)
+    total_obj = sum((t[..., 5] > 0).sum() for t in stamped)
+    assert total_obj == 1, total_obj
+    for t in stamped:
+        pos = np.argwhere(t[..., 5] > 0)
+        for gj, gi, n in pos:
+            assert t[gj, gi, n, 6 + 2] == 1.0  # class of the LATER GT
+            assert t[gj, gi, n, 6 + 1] == 0.0
+
+
+def test_gt2yolo_iou_thresh_extra_anchor_positives():
+    """iou_thresh < 1 stamps additional same-level anchors above the
+    wh-IoU threshold (reference yolov3.py:654-670)."""
+    h = w = 416
+    nc = 3
+    boxes = np.zeros((1, 2, 4), np.float32)
+    boxes[0, 0] = [0.5, 0.5, 0.25, 0.28]
+    cls = np.zeros((1, 2), np.int32)
+    score = np.zeros((1, 2), np.float32)
+    score[0, 0] = 1.0
+    base = gt2yolo_targets(jnp.asarray(boxes), jnp.asarray(cls),
+                           jnp.asarray(score), ANCHORS, MASKS, DS,
+                           (h, w), nc)
+    multi = gt2yolo_targets(jnp.asarray(boxes), jnp.asarray(cls),
+                            jnp.asarray(score), ANCHORS, MASKS, DS,
+                            (h, w), nc, iou_thresh=0.2)
+    n_base = sum(int((np.asarray(t)[..., 5] > 0).sum()) for t in base)
+    n_multi = sum(int((np.asarray(t)[..., 5] > 0).sum()) for t in multi)
+    assert n_base == 1
+    assert n_multi > n_base, (n_base, n_multi)
+    # the best-anchor stamp is unchanged
+    for tb, tm in zip(base, multi):
+        tb, tm = np.asarray(tb), np.asarray(tm)
+        mask = tb[..., 5] > 0
+        np.testing.assert_allclose(tm[mask], tb[mask], atol=1e-6)

@@ -225,11 +225,17 @@ def check_points_inside(points, bboxes, eps=1e-9):
 
 def _resolve_conflicts(mask_positive, ious):
     """Anchors matched to >1 GT keep only the max-IoU GT
-    (reference compute_max_iou_anchor :1770)."""
+    (reference compute_max_iou_anchor :1770).
+
+    The reference REPLACES the conflicted column with the argmax one-hot
+    outright (ppyoloe.py:1437-1441) — intersecting with mask_positive
+    would zero the whole column whenever the raw-IoU argmax is a GT that
+    failed the top-k (crowded scenes), silently training the anchor as
+    background."""
     matched = mask_positive.sum(axis=-2, keepdims=True)  # [B, 1, A]
     max_iou_gt = jax.nn.one_hot(jnp.argmax(ious, axis=-2),
                                 ious.shape[-2], axis=-2, dtype=ious.dtype)
-    return jnp.where(matched > 1, max_iou_gt * mask_positive, mask_positive)
+    return jnp.where(matched > 1, max_iou_gt, mask_positive)
 
 
 def _gather_assignments(mask_positive, ious, gt_labels, gt_bboxes, bg_index,

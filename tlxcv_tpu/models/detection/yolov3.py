@@ -14,7 +14,6 @@ Gt2YoloTarget :582) with the TPU-first changes from SURVEY.md §7 step 5:
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -130,17 +129,30 @@ class YOLOv3Head(nn.Module):
 # Vectorized target assignment (replaces Gt2YoloTarget host loops)
 # --------------------------------------------------------------------------
 def gt2yolo_targets(gt_boxes, gt_class, gt_score, anchors, anchor_masks,
-                    downsamples, input_hw, num_classes):
+                    downsamples, input_hw, num_classes, iou_thresh=1.0):
     """Assign each GT to its best-IoU anchor and stamp per-level targets.
 
     Args:
       gt_boxes: [B, M, 4] normalized (cx, cy, w, h); zero-area = padding.
       gt_class: [B, M] int32.
-      gt_score: [B, M] float (0 ⇒ invalid).
+      gt_score: [B, M] float (0 => invalid).
+      iou_thresh: < 1 additionally stamps every same-level anchor whose
+        wh-IoU with the GT exceeds it (reference Gt2YoloTarget
+        yolov3.py:654-670; the PPYOLO multi-anchor-positive recipe).
     Returns:
       list per level of [B, gh, gw, na, 6+nc] targets
-      (tx, ty, tw, th, tscale, tobj, onehot-class) — exact semantics of
-      reference Gt2YoloTarget (yolov3.py:628-672) without the loops.
+      (tx, ty, tw, th, tscale, tobj, onehot-class) — the sequential
+      semantics of reference Gt2YoloTarget (yolov3.py:628-672) expressed
+      as a lax.scan over the (padded, small) GT axis: later GTs
+      DETERMINISTICALLY overwrite earlier ones in a shared best slot
+      (a one-shot scatter with duplicate indices is unspecified in XLA),
+      and extra-anchor stamps never overwrite an occupied slot.
+
+    Deviation from the reference (documented): tx/ty are clamped to
+    [0, 1].  The reference bins cells with round(gx*(grid_w-1)) but
+    computes tx = gx*grid_w - gi, which lands outside [0, 1] for ~25% of
+    center positions — BCE against an out-of-range soft target has a
+    gradient bounded away from zero and drives the logit to -inf.
     """
     h, w = input_hw
     anchors = jnp.asarray(anchors, jnp.float32)  # [A, 2] pixels
@@ -148,44 +160,70 @@ def gt2yolo_targets(gt_boxes, gt_class, gt_score, anchors, anchor_masks,
 
     gx, gy = gt_boxes[..., 0], gt_boxes[..., 1]
     gw, gh = gt_boxes[..., 2], gt_boxes[..., 3]
-    valid = (gw > 0) & (gh > 0) & (gt_score > 0)
+    valid = (gw > 0) & (gh > 0) & (gt_score > 0)            # [B, M]
 
     # wh-only IoU against all anchors: [B, M, A]
     inter = (jnp.minimum(gw[..., None], an_hw[None, None, :, 0]) *
              jnp.minimum(gh[..., None], an_hw[None, None, :, 1]))
     union = (gw * gh)[..., None] + an_hw[:, 0] * an_hw[:, 1] - inter
-    best_idx = jnp.argmax(inter / (union + 1e-9), axis=-1)  # [B, M]
+    wh_iou = inter / (union + 1e-9)
+    best_idx = jnp.argmax(wh_iou, axis=-1)                  # [B, M]
 
     b, m = gt_boxes.shape[:2]
-    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m))
+    bidx = jnp.arange(b)
+    onehot = jax.nn.one_hot(gt_class, num_classes, dtype=jnp.float32)
+    tscale = 2.0 - gw * gh
+
     targets = []
     for mask, ds in zip(anchor_masks, downsamples):
         grid_h, grid_w = round(h / ds), round(w / ds)
         mask_arr = jnp.asarray(mask)
-        # position of best anchor within this level's mask, -1 if absent
-        in_level = best_idx[..., None] == mask_arr  # [B, M, na]
-        best_n = jnp.argmax(in_level, axis=-1)
+        na = len(mask)
+        in_level = best_idx[..., None] == mask_arr          # [B, M, na]
+        best_n = jnp.argmax(in_level, axis=-1)              # [B, M]
         assigned = in_level.any(-1) & valid
 
         gi = jnp.round(gx * (grid_w - 1)).astype(jnp.int32)
         gj = jnp.round(gy * (grid_h - 1)).astype(jnp.int32)
-        aw = anchors[best_idx][..., 0]
-        ah = anchors[best_idx][..., 1]
-        tx = gx * grid_w - gi
-        ty = gy * grid_h - gj
-        tw = jnp.log(jnp.maximum(gw * w, 1e-9) / aw)
-        th = jnp.log(jnp.maximum(gh * h, 1e-9) / ah)
-        tscale = 2.0 - gw * gh
-        onehot = jax.nn.one_hot(gt_class, num_classes, dtype=jnp.float32)
-        vals = jnp.concatenate([
-            jnp.stack([tx, ty, tw, th, tscale, gt_score], -1), onehot], -1)
+        tx = jnp.clip(gx * grid_w - gi, 0.0, 1.0)
+        ty = jnp.clip(gy * grid_h - gj, 0.0, 1.0)
+        # per-slot tw/th: each level anchor has its own log target
+        aw_n = anchors[mask_arr][:, 0]                      # [na]
+        ah_n = anchors[mask_arr][:, 1]
+        tw_n = jnp.log(jnp.maximum(gw * w, 1e-9)[..., None] / aw_n)
+        th_n = jnp.log(jnp.maximum(gh * h, 1e-9)[..., None] / ah_n)
+        base = jnp.stack([tx, ty], -1)                      # [B, M, 2]
+        vals_n = jnp.concatenate([
+            jnp.broadcast_to(base[:, :, None, :], (b, m, na, 2)),
+            tw_n[..., None], th_n[..., None],
+            jnp.broadcast_to(tscale[:, :, None, None], (b, m, na, 1)),
+            jnp.broadcast_to(gt_score[:, :, None, None], (b, m, na, 1)),
+            jnp.broadcast_to(onehot[:, :, None, :], (b, m, na, num_classes)),
+        ], -1)                                              # [B, M, na, C]
+        level_iou = wh_iou[..., mask_arr]                   # [B, M, na]
+        extra_ok = (valid[..., None] & (level_iou > iou_thresh)
+                    & (mask_arr[None, None, :] != best_idx[..., None]))
 
-        target = jnp.zeros((b, grid_h, grid_w, len(mask), 6 + num_classes),
-                           jnp.float32)
-        # drop unassigned GTs by pushing their row index out of bounds
-        gj_s = jnp.where(assigned, gj, grid_h)
-        target = target.at[batch_idx, gj_s, gi, best_n].set(vals, mode="drop")
-        targets.append(target)
+        gic = jnp.clip(gi, 0, grid_w - 1)
+        gjc = jnp.clip(gj, 0, grid_h - 1)
+
+        def step(tgt, g):
+            gj_b = jnp.where(assigned[:, g], gj[:, g], grid_h)
+            tgt = tgt.at[bidx, gj_b, gi[:, g], best_n[:, g]].set(
+                vals_n[bidx, g, best_n[:, g]], mode="drop")
+            if iou_thresh < 1.0:                            # static branch
+                for n in range(na):
+                    occupied = tgt[bidx, gjc[:, g], gic[:, g], n, 5] > 0
+                    ok = extra_ok[:, g, n] & ~occupied
+                    gj_e = jnp.where(ok, gj[:, g], grid_h)
+                    tgt = tgt.at[bidx, gj_e, gi[:, g], n].set(
+                        vals_n[:, g, n], mode="drop")
+            return tgt, None
+
+        tgt0 = jnp.zeros((b, grid_h, grid_w, na, 6 + num_classes),
+                         jnp.float32)
+        tgt, _ = jax.lax.scan(step, tgt0, jnp.arange(m))
+        targets.append(tgt)
     return targets
 
 
@@ -309,8 +347,11 @@ class YOLOv3(nn.Module):
                  anchor_masks=DEFAULT_MASKS, score_threshold=0.01,
                  nms_threshold=0.5, nms_top_k=1000, keep_top_k=100,
                  use_matrix_nms=False, iou_aware=False,
-                 iou_aware_factor=0.4):
+                 iou_aware_factor=0.4, gt_iou_thresh=1.0):
         self.use_matrix_nms = use_matrix_nms
+        # < 1 enables the reference's extra same-level anchor positives
+        # (Gt2YoloTarget iou_thresh, yolov3.py:654-670)
+        self.gt_iou_thresh = gt_iou_thresh
         self.backbone = DarkNet()
         self.neck = YOLOv3FPN(in_channels=self.backbone.out_channels)
         self.yolo_head = YOLOv3Head(in_channels=self.neck.out_channels,
@@ -345,7 +386,8 @@ class YOLOv3(nn.Module):
             gt_score = (gt_boxes[..., 2] > 0).astype(jnp.float32)
         tgt = gt2yolo_targets(
             gt_boxes, gt_class, gt_score, self.anchors, self.anchor_masks,
-            self.loss.downsamples, outputs["input_hw"], self.num_classes)
+            self.loss.downsamples, outputs["input_hw"], self.num_classes,
+            iou_thresh=self.gt_iou_thresh)
         head_outs = outputs["head_outs"]
         ioups = None
         if self.yolo_head.iou_aware:
@@ -363,7 +405,8 @@ class YOLOv3(nn.Module):
         img_size = jnp.broadcast_to(jnp.asarray([[h, w]], jnp.int32), (n, 2))
         boxes_all, scores_all = [], []
         for li, (out, mask_anchor, ds) in enumerate(zip(
-                head_outs, self.yolo_head.mask_anchors, DOWNSAMPLES)):
+                head_outs, self.yolo_head.mask_anchors,
+                self.loss.downsamples)):
             out = self.yolo_head.recombine_iou_aware(out, li)
             bx, sc = yolo_box(out, img_size, mask_anchor, self.num_classes,
                               conf_thresh=0.005, downsample_ratio=ds)

@@ -6,6 +6,7 @@ functions are tensorized, jit-safe, and layout-free ([..., 4] boxes).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -76,7 +77,9 @@ def aligned_iou(a, b, mode: str = "iou", eps: float = 1e-9):
         wb = b[..., 2] - b[..., 0]
         hb = b[..., 3] - b[..., 1]
         v = (4 / jnp.pi ** 2) * (jnp.arctan(wb / (hb + eps)) - jnp.arctan(wa / (ha + eps))) ** 2
-        alpha = v / (v - iou + 1 + eps)
+        # alpha is a constant trade-off coefficient in the CIoU paper —
+        # the reference sets alpha.stop_gradient=True (bbox_utils.py:306)
+        alpha = jax.lax.stop_gradient(v / (v - iou + 1 + eps))
         return iou - (rho2 / c2 + alpha * v)
     raise ValueError(f"unknown iou mode {mode!r}")
 
