@@ -27,12 +27,15 @@ def test_recal_matches_batch_stats_single_batch():
         size=(4, 8, 8, 3)), jnp.float32)
     new_state = recalibrate_batch_stats(model, params, state, [x] * 3)
     # with one repeated batch, recalibrated stats equal that batch's
-    # exact statistics -> train-mode and eval-mode outputs coincide
+    # exact statistics; train-mode and eval-mode outputs then coincide
+    # up to torch's running-stat convention (running_var stores the
+    # UNBIASED batch variance while train-mode normalizes with the
+    # biased one — an n/(n-1) factor, n = B*H*W = 256 here)
     fwd = pure(model)
     yt, _ = fwd(params, new_state, x, training=True)
     ye, _ = fwd(params, new_state, x, training=False)
     np.testing.assert_allclose(np.asarray(yt), np.asarray(ye),
-                               atol=2e-3, rtol=1e-3)
+                               atol=2e-2, rtol=5e-3)
     # and the stats actually moved off their init values
     moved = [k for k in state
              if "running" in k
@@ -57,7 +60,7 @@ def test_recal_averages_across_batches_and_restores_momentum():
         h, _ = fwd(params, state, x)
         h = np.asarray(h, np.float32)
         means.append(h.mean((0, 1, 2)))
-        vars_.append(h.var((0, 1, 2)))
+        vars_.append(h.var((0, 1, 2), ddof=1))  # torch: unbiased running
     mk = [k for k in new_state if k.endswith("bn/running_mean")][0]
     vk = [k for k in new_state if k.endswith("bn/running_var")][0]
     np.testing.assert_allclose(np.asarray(new_state[mk]),

@@ -129,3 +129,22 @@ def test_conv3d_shape(rng):
     x = jnp.asarray(rng.normal(size=(1, 8, 16, 16, 3)).astype(np.float32))
     conv = nn.Conv3d(3, 4, (3, 3, 3), stride=(1, 2, 2), padding="SAME")
     assert conv(x).shape == (1, 8, 8, 8, 4)
+
+
+def test_adaptive_avg_pool_nondivisible_matches_torch():
+    """Non-divisible bins use torch's exact floor/ceil bin means (the
+    old bilinear-resize fallback interpolated instead of averaging)."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from tlxcv_tpu.nn.layers import AdaptiveAvgPool2d
+
+    rng = np.random.default_rng(0)
+    for (h, w, oh, ow) in [(64, 64, 3, 3), (17, 23, 5, 7)]:
+        x = rng.normal(size=(2, h, w, 4)).astype(np.float32)
+        ours = np.asarray(AdaptiveAvgPool2d((oh, ow))(jnp.asarray(x)))
+        ref = F.adaptive_avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), (oh, ow))
+        np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(),
+                                   rtol=1e-5, atol=1e-5)

@@ -64,12 +64,22 @@ class CrossAttention(Module):
         b, n, _ = x.shape
         return x.reshape(b, n, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
-    def __call__(self, x, memory, mask=None):
-        o = scaled_dot_product_attention(
-            self._split(self.q(x)), self._split(self.k(memory)),
-            self._split(self.v(memory)), mask=mask)
+    def kv(self, memory):
+        """Precompute the loop-invariant K/V projections (hoisted out of
+        the decode scan: XLA does not LICM expensive dots, so computing
+        them per step cost depth*2 redundant [*, 577, D] matmuls per
+        generated token)."""
+        return self._split(self.k(memory)), self._split(self.v(memory))
+
+    def with_kv(self, x, kk, vv, mask=None):
+        o = scaled_dot_product_attention(self._split(self.q(x)), kk, vv,
+                                         mask=mask)
         b, h, n, d = o.shape
         return self.out(o.transpose(0, 2, 1, 3).reshape(b, n, h * d))
+
+    def __call__(self, x, memory, mask=None):
+        kk, vv = self.kv(memory)
+        return self.with_kv(x, kk, vv, mask=mask)
 
 
 class SelfAttentionKV(Module):
@@ -125,10 +135,10 @@ class DecoderLayer(Module):
         x = self.norm2(x + self.cross_attn(x, memory))
         return self.norm3(x + self.fc2(nn.gelu(self.fc1(x))))
 
-    def step(self, x_t, memory, ck, cv, pos):
+    def step(self, x_t, mem_kv, ck, cv, pos):
         y, ck, cv = self.self_attn.step(x_t, ck, cv, pos)
         x_t = self.norm1(x_t + y)
-        x_t = self.norm2(x_t + self.cross_attn(x_t, memory))
+        x_t = self.norm2(x_t + self.cross_attn.with_kv(x_t, *mem_kv))
         return self.norm3(x_t + self.fc2(nn.gelu(self.fc1(x_t)))), ck, cv
 
 
@@ -157,6 +167,11 @@ class TrOCRDecoder(Module):
 
     def __call__(self, input_ids, memory):
         n = input_ids.shape[1]
+        if n > self.max_positions:
+            raise ValueError(
+                f"sequence length {n} exceeds max_positions "
+                f"{self.max_positions} (the position table would be "
+                f"silently clipped)")
         x = self._embed(input_ids, jnp.arange(n)[None, :])
         for layer in self.layers:
             x = layer.full(x, memory)
@@ -168,11 +183,18 @@ class TrOCRDecoder(Module):
         return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
                 for _ in self.layers]
 
-    def decode_step(self, token, pos, memory, cache):
+    def memory_kv(self, memory):
+        """Per-layer cross-attention K/V of the encoder memory —
+        precompute ONCE before a decode scan (loop-invariant)."""
+        return [layer.cross_attn.kv(memory) for layer in self.layers]
+
+    def decode_step(self, token, pos, memory, cache, mem_kvs=None):
         x = self._embed(token[:, None], pos[None, None])
+        if mem_kvs is None:
+            mem_kvs = self.memory_kv(memory)
         new_cache = []
-        for layer, (ck, cv) in zip(self.layers, cache):
-            x, ck, cv = layer.step(x, memory, ck, cv, pos)
+        for layer, (ck, cv), kv in zip(self.layers, cache, mem_kvs):
+            x, ck, cv = layer.step(x, kv, ck, cv, pos)
             new_cache.append((ck, cv))
         return self.output_projection(x)[:, 0], new_cache
 
@@ -222,10 +244,12 @@ class TrOCR(Module):
             memory = self.encode(images)
         b = memory.shape[0]
         cache = self.decoder.init_cache(b, self.max_length, memory.dtype)
+        mem_kvs = self.decoder.memory_kv(memory)   # hoisted out of the scan
 
         def step(carry, pos):
             token, cache, done = carry
-            logits, cache = self.decoder.decode_step(token, pos, memory, cache)
+            logits, cache = self.decoder.decode_step(token, pos, memory,
+                                                     cache, mem_kvs)
             next_token = jnp.argmax(logits, -1).astype(jnp.int32)
             next_token = jnp.where(done, self.pad_token_id, next_token)
             done = done | (next_token == self.eos_token_id)
@@ -250,22 +274,25 @@ class TrOCR(Module):
             memory = self.encode(images)
         b = memory.shape[0]
         k = num_beams
-        neg = jnp.asarray(-1e9, memory.dtype)
+        # beam bookkeeping stays f32: bf16 cumulative logprobs lose
+        # beam-ordering resolution after ~20 tokens
+        neg = jnp.float32(-1e9)
         mem = jnp.repeat(memory, k, axis=0)            # [B*K, M, D]
+        mem_kvs = self.decoder.memory_kv(mem)          # hoisted
         cache = self.decoder.init_cache(b * k, self.max_length, memory.dtype)
         vocab = self.decoder.output_projection.weight.value.shape[-1]
 
         # only beam 0 live at the start (all beams share BOS)
         scores0 = jnp.tile(
             jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), -1e9)]),
-            (b, 1)).astype(memory.dtype)
+            (b, 1)).astype(jnp.float32)
 
         def step(carry, pos):
             last, buf, scores, done, lengths, cache = carry
             logits, cache = self.decoder.decode_step(
-                last.reshape(b * k), pos, mem, cache)
+                last.reshape(b * k), pos, mem, cache, mem_kvs)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-            logp = logp.reshape(b, k, vocab).astype(memory.dtype)
+            logp = logp.reshape(b, k, vocab)
             # finished beams may only emit PAD at zero cost
             pad_only = jnp.full((vocab,), neg).at[self.pad_token_id].set(0.0)
             logp = jnp.where(done[..., None], pad_only[None, None], logp)

@@ -107,7 +107,7 @@ class Sequential(Module):
 
     def __call__(self, x):
         for layer in self.layers:
-            x = layer(x) if not callable(layer) or isinstance(layer, Module) else layer(x)
+            x = layer(x)
         return x
 
     def __getitem__(self, i):
@@ -359,8 +359,14 @@ class BatchNorm(Module):
             mean = jnp.mean(xf, axis=reduce_axes)
             var = jnp.var(xf, axis=reduce_axes)
             m = self.momentum
+            # torch updates running_var with the UNBIASED batch variance
+            # (normalization itself uses the biased one)
+            n = 1
+            for ax in reduce_axes:
+                n *= x.shape[ax]
+            var_u = var * (n / max(n - 1, 1))
             self.running_mean.value = m * self.running_mean.value + (1 - m) * mean
-            self.running_var.value = m * self.running_var.value + (1 - m) * var
+            self.running_var.value = m * self.running_var.value + (1 - m) * var_u
         else:
             mean = self.running_mean.value
             var = self.running_var.value
@@ -514,8 +520,26 @@ class AdaptiveAvgPool2d(Module):
         if h % oh == 0 and w % ow == 0:
             x = x.reshape(n, oh, h // oh, ow, w // ow, c)
             return jnp.mean(x, axis=(2, 4))
-        # general case: mean over value-dependent bins, torch semantics
-        out = jax.image.resize(x.astype(jnp.float32), (n, oh, ow, c), "linear")
+        # non-divisible: torch's exact bin means — output bin i averages
+        # input rows [floor(i*H/oh), ceil((i+1)*H/oh)).  Expressed as two
+        # static averaging matmuls (MXU-friendly); a bilinear resize here
+        # (the old fallback) interpolates instead of averaging and
+        # breaks parity with torch adaptive_avg_pool2d on PSP-style bins.
+        import numpy as _np
+
+        def avg_mat(inp, out):
+            m = _np.zeros((out, inp), _np.float32)
+            for i in range(out):
+                a = (i * inp) // out
+                b = -(-((i + 1) * inp) // out)
+                m[i, a:b] = 1.0 / (b - a)
+            return jnp.asarray(m)
+
+        ah = avg_mat(h, oh)
+        aw = avg_mat(w, ow)
+        xf = x.astype(jnp.float32)
+        out = jnp.einsum("ih,nhwc->niwc", ah, xf)
+        out = jnp.einsum("jw,niwc->nijc", aw, out)
         return out.astype(x.dtype)
 
 

@@ -20,8 +20,13 @@ __all__ = [
 
 def softmax_cross_entropy(logits, labels, label_smoothing=0.0, axis=-1,
                           reduction="mean"):
-    """CE over logits; integer or one-hot labels."""
-    nc = logits.shape[axis]
+    """CE over logits; integer or one-hot labels.  ``axis`` selects the
+    class axis of BOTH logits and (one-hot) labels."""
+    if axis not in (-1, logits.ndim - 1):
+        logits = jnp.moveaxis(logits, axis, -1)
+        if labels.ndim == logits.ndim:      # one-hot with the same layout
+            labels = jnp.moveaxis(labels, axis, -1)
+    nc = logits.shape[-1]
     if labels.ndim == logits.ndim - 1 or labels.dtype in (jnp.int32, jnp.int64):
         labels = jax.nn.one_hot(labels, nc, dtype=logits.dtype)
     if label_smoothing:
@@ -110,4 +115,6 @@ def _reduce(loss, reduction):
         return jnp.mean(loss)
     if reduction == "sum":
         return jnp.sum(loss)
+    if reduction not in (None, "none"):
+        raise ValueError(f"unknown reduction {reduction!r}")
     return loss
