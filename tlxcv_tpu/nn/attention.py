@@ -18,7 +18,7 @@ from ..core.module import Module, Param
 from .layers import Dropout, Linear
 
 __all__ = ["scaled_dot_product_attention", "MultiHeadAttention", "Attention",
-           "use_flash_attention"]
+           "use_flash_attention", "use_int8_attention"]
 
 # Opt-in Pallas flash-attention path (ops/pallas/attention.py).  Measured
 # verdict (BENCHMARKS.md, r3): the kernel wins the ISOLATED op at ViT-B
@@ -30,10 +30,54 @@ __all__ = ["scaled_dot_product_attention", "MultiHeadAttention", "Attention",
 # via use_flash_attention(True) or per-call use_flash=True.
 _FLASH_DEFAULT = False
 
+# Opt-in dynamic-int8 attention (the serving-path complement to
+# ops/quant.py, which quantizes Conv2d/Linear weights but leaves the two
+# attention einsums in bf16/f32).  Both matmuls run int8 x int8 -> int32
+# on the MXU with in-graph per-head (q/k/v) and per-row (softmax
+# probabilities) dynamic scales — no calibration pass needed, softmax
+# stays f32.  Enable globally with use_int8_attention(True) after
+# quantize_weights(), or per-call with use_int8=True.
+_INT8_DEFAULT = False
+
 
 def use_flash_attention(enabled: bool = True):
     global _FLASH_DEFAULT
     _FLASH_DEFAULT = bool(enabled)
+
+
+def use_int8_attention(enabled: bool = True):
+    global _INT8_DEFAULT
+    _INT8_DEFAULT = bool(enabled)
+
+
+def _quant_dyn(t, eps=1e-6):
+    """Symmetric per-head int8: abs-max over the trailing (seq, dim)
+    axes.  Returns (int8 tensor, f32 scale broadcastable against it)."""
+    s = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=(-2, -1),
+                keepdims=True)
+    s = jnp.maximum(s, eps) / 127.0
+    q = jnp.clip(jnp.round(t.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _int8_sdpa(q, k, v, mask, scale):
+    qi, qs = _quant_dyn(q)
+    ki, ks = _quant_dyn(k)
+    attn = jnp.einsum("...qd,...kd->...qk", qi, ki,
+                      preferred_element_type=jnp.int32)
+    attn = attn.astype(jnp.float32) * (qs * ks * scale)
+    if mask is not None:
+        attn = attn + mask
+    p = jax.nn.softmax(attn, axis=-1)
+    # probabilities: per-row dynamic scale (rows sum to 1 but the max can
+    # be ~1/S under uniform attention — a fixed 1/127 scale would lose
+    # most of the mantissa there)
+    ps = jnp.maximum(jnp.max(p, axis=-1, keepdims=True), 1e-6) / 127.0
+    pi = jnp.round(p / ps).astype(jnp.int8)
+    vi, vs = _quant_dyn(v)
+    out = jnp.einsum("...qk,...kd->...qd", pi, vi,
+                     preferred_element_type=jnp.int32)
+    return (out.astype(jnp.float32) * (ps * vs)).astype(v.dtype)
 
 
 def _flash_sdpa(q, k, v, mask, scale):
@@ -69,15 +113,19 @@ def _flash_sdpa(q, k, v, mask, scale):
 
 
 def scaled_dot_product_attention(q, k, v, mask=None, scale=None,
-                                 use_flash=None):
+                                 use_flash=None, use_int8=None):
     """q,k,v: [..., heads, seq, head_dim]. mask broadcastable to
     [..., heads, q_len, k_len] (additive, -inf for disallowed)."""
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
     if use_flash is None:
         use_flash = _FLASH_DEFAULT
+    if use_int8 is None:
+        use_int8 = _INT8_DEFAULT
     if use_flash:
         return _flash_sdpa(q, k, v, mask, scale)
+    if use_int8:
+        return _int8_sdpa(q, k, v, mask, scale)
     attn = jnp.einsum("...qd,...kd->...qk", q * scale, k,
                       preferred_element_type=jnp.float32)
     if mask is not None:

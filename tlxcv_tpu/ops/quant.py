@@ -16,6 +16,11 @@ The int8 execution lives inside ``nn.Conv2d.__call__`` /
 quantized models run through the same ``pure()``/Trainer plumbing —
 ``split()`` after quantization picks up the int8 weights and scale
 params automatically.
+
+Transformers: the two attention einsums (q.kT and p.v) are activations
+x activations, so weight quantization can't reach them — enable
+``nn.use_int8_attention(True)`` to run them as dynamic int8 (per-head
+q/k/v scales, per-row probability scales, no calibration needed).
 """
 from __future__ import annotations
 
