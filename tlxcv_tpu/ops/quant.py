@@ -43,7 +43,12 @@ def _quantizable(mod) -> bool:
 def quantize_weights(model, include: tp.Optional[tp.Callable] = None):
     """In-place: convert Conv2d/Linear kernels to int8 + per-out-channel
     scale.  ``include(path, mod) -> bool`` filters layers (default all).
-    Returns the number of layers quantized."""
+    Returns the number of layers quantized.
+
+    Quantizes the module's CURRENT weights.  After functional training
+    (``pure``/``split``), the module still holds its init weights —
+    ``model.load_state_dict({**params, **state})`` first, or you will
+    silently serve a quantized UNTRAINED model."""
     count = 0
     for path, mod in model.modules():
         if not _quantizable(mod):
