@@ -56,3 +56,37 @@ def test_train_state_resume(tmp_path, rng):
     for k in pa:
         np.testing.assert_allclose(np.asarray(pa[k]), np.asarray(pb[k]),
                                    atol=1e-7)
+
+
+def test_bf16_weights_roundtrip(tmp_path):
+    """npz can't natively round-trip ml_dtypes — bfloat16 used to load
+    back as void '|V2' and silently corrupt the checkpoint.  The dtype
+    manifest in utils/checkpoint must restore it exactly."""
+    net = Net()
+    for _, v in net.variables():
+        if v.value.dtype == jnp.float32:
+            v.value = v.value.astype(jnp.bfloat16)
+    before = {k: np.asarray(v, np.float32)
+              for k, v in net.state_dict().items()}
+    path = str(tmp_path / "w.npz")
+    net.save_weights(path)
+
+    net2 = Net()
+    net2.load_weights(path)
+    for k, v in net2.state_dict().items():
+        assert v.dtype == jnp.bfloat16 or np.asarray(v).dtype.name == "bfloat16", (k, v.dtype)
+        np.testing.assert_array_equal(np.asarray(v, np.float32), before[k])
+
+    # TrainCheckpoint: bf16 params + f32 opt state through the same path
+    params, state = split(net)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init({k: np.asarray(v, np.float32)
+                         for k, v in params.items()})
+    cpath = str(tmp_path / "ckpt.npz")
+    TrainCheckpoint.save(cpath, params, state, opt_state, step=7)
+    p2, s2, o2, n = TrainCheckpoint.restore(cpath, params, state, opt_state)
+    assert n == 7
+    for k in params:
+        assert np.asarray(p2[k]).dtype.name == "bfloat16"
+        np.testing.assert_array_equal(np.asarray(p2[k], np.float32),
+                                      np.asarray(params[k], np.float32))

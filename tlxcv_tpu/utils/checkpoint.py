@@ -12,7 +12,6 @@ Two tiers (SURVEY.md §5.4):
 from __future__ import annotations
 
 import json
-import os
 import typing as tp
 
 import jax
@@ -21,14 +20,44 @@ import numpy as np
 from ..core.module import Module, load_state_dict, state_dict
 
 
+_DTYPE_KEY = "__ml_dtypes__"
+
+
+def _savable(arrays: dict) -> dict:
+    """npz can't round-trip ml_dtypes (bfloat16/fp8 load back as void
+    '|V2', silently corrupting the checkpoint): upcast those to f32
+    (exact) and record the original dtype in a manifest entry."""
+    out, casts = {}, {}
+    for k, v in arrays.items():
+        a = np.asarray(v)
+        if a.dtype.kind == "V":
+            casts[k] = a.dtype.name
+            a = a.astype(np.float32)
+        out[k] = a
+    if casts:
+        out[_DTYPE_KEY] = np.frombuffer(
+            json.dumps(casts).encode(), np.uint8).copy()
+    return out
+
+
+def _restore_dtypes(arrays: dict) -> dict:
+    manifest = arrays.pop(_DTYPE_KEY, None)
+    if manifest is not None:
+        import ml_dtypes
+
+        for k, name in json.loads(bytes(manifest.tobytes()).decode()).items():
+            if k in arrays:
+                arrays[k] = arrays[k].astype(getattr(ml_dtypes, name))
+    return arrays
+
+
 def save_weights(module: Module, path: str):
-    sd = state_dict(module)
-    np.savez(path, **{k: np.asarray(v) for k, v in sd.items()})
+    np.savez(path, **_savable(state_dict(module)))
 
 
 def load_weights(module: Module, path: str, strict: bool = True):
     with np.load(path) as data:
-        sd = {k: data[k] for k in data.files}
+        sd = _restore_dtypes({k: data[k] for k in data.files})
     load_state_dict(module, sd, strict=strict)
     return module
 
@@ -66,19 +95,20 @@ class TrainCheckpoint:
     def save(path: str, params, state, opt_state, step: int):
         flat_p = _flatten({"params": params, "state": state})
         leaves, treedef = jax.tree_util.tree_flatten(opt_state)
-        arrays = {f"opt/{i}": np.asarray(l) for i, l in enumerate(leaves)}
-        arrays.update({k: np.asarray(v) for k, v in flat_p.items()})
+        arrays = {f"opt/{i}": l for i, l in enumerate(leaves)}
+        arrays.update(flat_p)
         arrays["step"] = np.asarray(step)
-        np.savez(path, **arrays)
+        np.savez(path, **_savable(arrays))
 
     @staticmethod
     def restore(path: str, params, state, opt_state):
         """Restore into the given templates (shapes/treedefs must match)."""
         with np.load(path) as data:
-            new_params = {k: data[f"params/{k}"] for k in params}
-            new_state = {k: data[f"state/{k}"] for k in state}
-            leaves, treedef = jax.tree_util.tree_flatten(opt_state)
-            new_leaves = [data[f"opt/{i}"] for i in range(len(leaves))]
-            new_opt = jax.tree_util.tree_unflatten(treedef, new_leaves)
-            step = int(data["step"])
+            arrays = _restore_dtypes({k: data[k] for k in data.files})
+        new_params = {k: arrays[f"params/{k}"] for k in params}
+        new_state = {k: arrays[f"state/{k}"] for k in state}
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        new_leaves = [arrays[f"opt/{i}"] for i in range(len(leaves))]
+        new_opt = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        step = int(arrays["step"])
         return new_params, new_state, new_opt, step
