@@ -107,3 +107,24 @@ def test_mask_rcnn_train_loss(tiny_mask_rcnn, rng):
     assert np.isfinite(gn) and gn > 0
     assert float(jnp.abs(g["mask_head/pred/weight"]).sum()) > 0
     assert float(jnp.abs(g["rpn_head/conv/weight"]).sum()) > 0
+
+
+def test_mask_rcnn_loss_finite_with_zero_gt(tiny_mask_rcnn, rng):
+    """An image with NO valid GTs (real COCO has ~1k of them) gathers a
+    padded all-zero target row; the bbox2delta log(0) = -inf used to NaN
+    the masked `loss * posf` reductions (inf * 0)."""
+    model = tiny_mask_rcnn
+    params, state = split(model)
+    x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)), jnp.float32)
+    targets = {"boxes": jnp.zeros((1, 3, 4), jnp.float32),
+               "class_labels": jnp.zeros((1, 3), jnp.int32),
+               "mask": jnp.zeros((1, 3), jnp.float32),
+               "masks": jnp.zeros((1, 3, 128, 128), jnp.float32)}
+
+    lp = pure(model, lambda m, x, t: m.loss_fn(m(x), t))
+    loss, _ = jax.jit(lambda p, s: lp(p, s, x, targets, training=True))(
+        params, state)
+    assert np.isfinite(float(loss)), float(loss)
+    g = jax.grad(lambda p: lp(p, state, x, targets, training=True)[0])(params)
+    gn = sum(float(jnp.abs(v).sum()) for v in g.values())
+    assert np.isfinite(gn)

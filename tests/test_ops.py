@@ -101,6 +101,16 @@ def test_delta_roundtrip(rng):
     np.testing.assert_allclose(rec, gt, atol=1e-2, rtol=1e-3)
 
 
+def test_delta_encode_finite_for_padded_targets(rng):
+    """All-zero (padded) target rows must encode to FINITE deltas —
+    log(0) = -inf here NaN'd every masked `loss * pos` reduction in the
+    R-CNN family on images with zero valid GTs."""
+    anchors = random_boxes(rng, 8)
+    gt = np.zeros((8, 4), np.float32)
+    deltas = np.asarray(ops.bbox2delta(jnp.asarray(anchors), jnp.asarray(gt)))
+    assert np.isfinite(deltas).all()
+
+
 # ---------------------------------------------------------------- nms
 def test_nms_matches_torchvision(rng):
     boxes = random_boxes(rng, 60)

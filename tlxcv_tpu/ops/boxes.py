@@ -88,13 +88,21 @@ bbox_iou = aligned_iou
 
 
 def bbox2delta(src, tgt, weights=(1.0, 1.0, 1.0, 1.0)):
-    """Encode target boxes relative to anchors (reference bbox_utils.py:7)."""
-    sw = src[..., 2] - src[..., 0]
-    sh = src[..., 3] - src[..., 1]
+    """Encode target boxes relative to anchors (reference bbox_utils.py:7).
+
+    Degenerate boxes (zero/negative width) are clamped to a tiny eps
+    before the log: an image with ZERO valid GTs gathers a padded
+    all-zero target row, and the resulting log(0) = -inf turns every
+    `loss * pos_mask` reduction into NaN (inf * 0) even though the row
+    is masked out.  With the clamp the row encodes to a large-but-finite
+    delta that the mask zeroes cleanly."""
+    eps = 1e-4
+    sw = jnp.maximum(src[..., 2] - src[..., 0], eps)
+    sh = jnp.maximum(src[..., 3] - src[..., 1], eps)
     scx = src[..., 0] + sw * 0.5
     scy = src[..., 1] + sh * 0.5
-    tw = tgt[..., 2] - tgt[..., 0]
-    th = tgt[..., 3] - tgt[..., 1]
+    tw = jnp.maximum(tgt[..., 2] - tgt[..., 0], eps)
+    th = jnp.maximum(tgt[..., 3] - tgt[..., 1], eps)
     tcx = tgt[..., 0] + tw * 0.5
     tcy = tgt[..., 1] + th * 0.5
     wx, wy, ww, wh = weights
