@@ -1,0 +1,66 @@
+"""AOT serving export (utils/export.py): StableHLO artifact with baked
+weights, polymorphic batch, and no model code at load time."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tlxcv_tpu.core import pure, split
+from tlxcv_tpu.utils.export import export_model, load_exported, save_exported
+
+
+def test_export_roundtrip_polymorphic_batch(tmp_path, rng):
+    import tlxcv_tpu.nn as nn
+
+    class Tiny(nn.Module):
+        def __init__(self):
+            self.conv = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+            self.bn = nn.BatchNorm(8)
+            self.fc = nn.Linear(8, 5)
+
+        def __call__(self, x):
+            x = nn.relu(self.bn(self.conv(x)))
+            return self.fc(x.mean((1, 2)))
+
+    m = Tiny()
+    art = export_model(m, (16, 16, 3))
+    path = str(tmp_path / "tiny.stablehlo")
+    n = save_exported(path, art)
+    assert n > 1000
+    serve = load_exported(path)
+    for b in (1, 3, 7):  # one artifact, any batch size
+        x = jnp.asarray(rng.normal(size=(b, 16, 16, 3)), jnp.float32)
+        ref, _ = pure(m)(*split(m), x)
+        np.testing.assert_allclose(np.asarray(serve(x)), np.asarray(ref),
+                                   atol=1e-5)
+
+
+def test_export_int8_quantized(tmp_path, rng):
+    """Quantized weights + scales are baked constants — the int8 serving
+    path exports like any other."""
+    import tlxcv_tpu.nn as nn
+    from tlxcv_tpu.ops.quant import quantize_weights
+
+    class Tiny(nn.Module):
+        def __init__(self):
+            self.fc1 = nn.Linear(12, 24)
+            self.fc2 = nn.Linear(24, 4)
+
+        def __call__(self, x):
+            return self.fc2(nn.relu(self.fc1(x)))
+
+    m = Tiny()
+    x = jnp.asarray(rng.normal(size=(4, 12)), jnp.float32)
+    ref, _ = pure(m)(*split(m), x)
+    quantize_weights(m)
+    art = export_model(m, (12,))
+    serve = load_exported(str(save_path(tmp_path, art)))
+    out = serve(x)
+    cos = float((ref * out).sum() /
+                (jnp.linalg.norm(ref) * jnp.linalg.norm(out) + 1e-12))
+    assert cos > 0.999
+
+
+def save_path(tmp_path, art):
+    p = tmp_path / "m.stablehlo"
+    save_exported(str(p), art)
+    return p
