@@ -64,3 +64,23 @@ def save_path(tmp_path, art):
     p = tmp_path / "m.stablehlo"
     save_exported(str(p), art)
     return p
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_export_full_detector_predict_path(tmp_path, rng):
+    """The whole serving graph — backbone + head + box decode + the
+    K-step NMS scan — exports as ONE artifact (nothing host-side in the
+    eval path)."""
+    from tlxcv_tpu.models.detection import SSD
+
+    m = SSD(num_classes=4, image_size=(128, 128))
+    art = export_model(m, (128, 128, 3))
+    serve = load_exported(str(save_path(tmp_path, art)))
+    x = jnp.asarray(rng.normal(size=(2, 128, 128, 3)), jnp.float32)
+    (rd, rc), _ = pure(m)(*split(m), x, training=False)
+    od, oc = serve(x)
+    assert (np.asarray(rc) == np.asarray(oc)).all()
+    np.testing.assert_array_equal(np.asarray(rd), np.asarray(od))
