@@ -233,3 +233,83 @@ def test_trainer_metrics_with_tuple_outputs(rng):
     tr.train(n_epoch=1, train_dataset=loader)
     res = tr.evaluate(loader)
     assert np.isfinite(res["loss"]) and np.isfinite(res["metric"])
+
+
+def test_trainer_grad_accum_matches_large_batch(rng):
+    """grad_accum=k with SGD over k microbatches == one full-batch step
+    (MultiSteps averages the accumulated grads; loss is a batch mean)."""
+    import optax
+
+    x, y = make_classification_data(rng, n=16)
+    # no BN (running-stat drift) and no dropout (mask schedules differ
+    # between k micro-steps and one full step)
+    model = ImageClassification(vgg11(num_classes=4, dropout=0.0))
+
+    tr_micro = Trainer(model, optimizer=optax.sgd(1e-2), grad_accum=4)
+    tr_full = Trainer(model, optimizer=optax.sgd(1e-2))
+    # same init: both trainers split() the same module
+    for i in range(4):
+        xb, yb = tr_micro._put_batch((x[i * 4:(i + 1) * 4],
+                                      y[i * 4:(i + 1) * 4]))
+        (tr_micro.params, tr_micro.state, tr_micro.opt_state, _, _, _
+         ) = tr_micro._train_step(tr_micro.params, tr_micro.state,
+                                  tr_micro.opt_state, tr_micro.ema_params,
+                                  xb, yb, jax.random.key(0))
+    xb, yb = tr_full._put_batch((x, y))
+    (tr_full.params, tr_full.state, tr_full.opt_state, _, _, _
+     ) = tr_full._train_step(tr_full.params, tr_full.state,
+                             tr_full.opt_state, tr_full.ema_params,
+                             xb, yb, jax.random.key(0))
+    for k in list(tr_full.params)[:6]:
+        np.testing.assert_allclose(np.asarray(tr_micro.params[k]),
+                                   np.asarray(tr_full.params[k]),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_trainer_nan_guard_skips_poison_batch(rng):
+    """One NaN batch must not destroy the run: params/opt/BN state keep
+    their previous values and the skip is counted."""
+    import optax
+
+    x, y = make_classification_data(rng, n=32)
+    model = ImageClassification(resnet18(num_classes=4))
+    tr = Trainer(model, optimizer=optax.adam(1e-3), nan_guard=True)
+
+    def step(xb, yb):
+        xb, yb = tr._put_batch((xb, yb))
+        (tr.params, tr.state, tr.opt_state, _, loss, _
+         ) = tr._train_step(tr.params, tr.state, tr.opt_state,
+                            tr.ema_params, xb, yb, jax.random.key(0))
+        return loss
+
+    step(x[:8], y[:8])  # one clean step
+    before = {k: np.asarray(v) for k, v in tr.params.items()}
+    poison = x[8:16].copy()
+    poison[0, 0, 0, 0] = np.nan
+    loss = step(poison, y[8:16])
+    assert np.isnan(float(loss))  # reported as skipped
+    for k in list(before)[:6]:
+        np.testing.assert_array_equal(np.asarray(tr.params[k]), before[k])
+    tr._count_skips([loss])
+    assert tr.nan_skips == 1
+    # training continues cleanly afterwards
+    loss = step(x[16:24], y[16:24])
+    assert np.isfinite(float(loss))
+
+
+def test_no_decay_mask_exempts_bias_and_norm(rng):
+    """weight decay touches only rank>=2 kernels with the standard mask."""
+    import jax.numpy as jnp
+
+    from tlxcv_tpu.core import split
+    from tlxcv_tpu.train.optimizers import Adam, no_decay_mask
+
+    params, _ = split(resnet18(num_classes=4))
+    mask = no_decay_mask(params)
+    assert any(mask.values()) and not all(mask.values())
+    tx = Adam(1e-3, weight_decay=1e-2, weight_decay_mask=no_decay_mask)
+    st = tx.init(params)
+    zeros = {k: jnp.zeros_like(v) for k, v in params.items()}
+    up, _ = tx.update(zeros, st, params)
+    for k, decayed in mask.items():
+        assert (float(jnp.abs(up[k]).max()) > 0) == decayed, k

@@ -4,13 +4,21 @@ from __future__ import annotations
 import optax
 
 __all__ = ["Adam", "AdamW", "SGD", "Momentum", "RMSprop", "EpochDecay",
-           "cosine_schedule", "warmup_cosine"]
+           "cosine_schedule", "warmup_cosine", "no_decay_mask"]
+
+
+def no_decay_mask(params: dict) -> dict:
+    """Standard decay mask: weight decay applies only to rank>=2 kernels
+    — biases and BN/LN scales/offsets (rank-1/0) are exempt (the
+    torch/paddle recipe convention).  Pass as ``weight_decay_mask`` to
+    :func:`Adam`/:func:`AdamW` or as optax's ``mask=``."""
+    return {k: bool(getattr(v, "ndim", 0) >= 2) for k, v in params.items()}
 
 
 def Adam(lr=1e-3, beta_1=0.9, beta_2=0.999, eps=1e-8, weight_decay=0.0,
-         grad_clip=None):
+         grad_clip=None, weight_decay_mask=None):
     tx = (optax.adamw(lr, b1=beta_1, b2=beta_2, eps=eps,
-                      weight_decay=weight_decay)
+                      weight_decay=weight_decay, mask=weight_decay_mask)
           if weight_decay else optax.adam(lr, b1=beta_1, b2=beta_2, eps=eps))
     return _with_clip(tx, grad_clip)
 

@@ -43,7 +43,9 @@ class Trainer:
                  ema_decay: tp.Optional[float] = None,
                  ema_for_eval: bool = True,
                  compute_dtype: tp.Optional[tp.Any] = None,
-                 remat: bool = False):
+                 remat: bool = False,
+                 grad_accum: int = 1,
+                 nan_guard: bool = False):
         """``param_sharding="fsdp"`` shards every large parameter over the
         mesh 'data' axis (ZeRO-3; parallel.mesh.fsdp_shardings) — XLA
         inserts the all-gathers/reduce-scatters; the optimizer state
@@ -67,10 +69,28 @@ class Trainer:
         backward pass recomputes activations instead of keeping them in
         HBM — the standard TPU trade of FLOPs for memory when activation
         working sets approach the 16 GB/chip ceiling (identical
-        gradients, tested)."""
+        gradients, tested).
+
+        ``grad_accum=k`` accumulates gradients over k microbatches
+        before applying one (averaged) optimizer update — an effective
+        batch k× what fits in HBM (optax.MultiSteps; schedules advance
+        once per accumulated step, matching large-batch semantics).
+
+        ``nan_guard=True`` checks loss + gradients for non-finite values
+        INSIDE the jitted step and skips the whole update (params, opt
+        state, EMA and BN stats all keep their previous values) when the
+        check fails, so one pathological batch can't destroy a long run.
+        Skipped steps are excluded from the epoch-mean loss and counted
+        in ``trainer.nan_skips`` (reported in the epoch log)."""
         self.network = network
         self.loss_fn = loss_fn if loss_fn is not None else network.loss_fn
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-3)
+        self.grad_accum = int(grad_accum)
+        if self.grad_accum > 1:
+            self.optimizer = optax.MultiSteps(self.optimizer,
+                                              every_k_schedule=self.grad_accum)
+        self.nan_guard = bool(nan_guard)
+        self.nan_skips = 0
         self.metrics = metrics
         try:
             self.mesh = get_mesh(mesh)
@@ -153,6 +173,7 @@ class Trainer:
         ema_decay = self.ema_decay
         do_remat = bool(remat)
         self.remat = do_remat
+        do_nan_guard = self.nan_guard
 
         # donate the optimizer state (2x params for Adam — the largest
         # transiently-doubled buffer).  params/ema are NOT donated: at
@@ -180,8 +201,24 @@ class Trainer:
                 # back to their stored dtypes (f32 running stats)
                 new_state = jax.tree_util.tree_map(
                     lambda ns, s: ns.astype(s.dtype), new_state, state)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            new_updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                          params)
+            new_params = optax.apply_updates(params, new_updates)
+            if do_nan_guard:
+                # one reduction over the grads: any inf/NaN poisons the
+                # sum, so isfinite(total) == all leaves finite
+                total = sum(jnp.sum(g.astype(jnp.float32))
+                            for g in jax.tree_util.tree_leaves(grads))
+                ok = jnp.isfinite(loss) & jnp.isfinite(total)
+                sel = lambda n, o: jnp.where(ok, n, o)
+                new_params = jax.tree_util.tree_map(sel, new_params, params)
+                new_opt_state = jax.tree_util.tree_map(sel, new_opt_state,
+                                                       opt_state)
+                new_state = jax.tree_util.tree_map(sel, new_state, state)
+                # surface the skip: a guarded step reports loss=NaN to the
+                # host loop (which counts it) while the state stays clean
+                loss = jnp.where(ok, loss, jnp.float32(jnp.nan))
+            params, opt_state = new_params, new_opt_state
             if ema is not None:  # trace-time branch (ema is None or a dict)
                 ema = jax.tree_util.tree_map(
                     lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
@@ -217,6 +254,16 @@ class Trainer:
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _count_skips(self, losses) -> int:
+        """nan_guard reports a skipped update as loss=NaN; tally them
+        once per epoch (keeps the step loop free of per-step host
+        syncs)."""
+        if not self.nan_guard or not losses:
+            return 0
+        n = int(jnp.isnan(jnp.stack(losses)).sum())
+        self.nan_skips += n
+        return n
 
     def _epoch_bucket(self, epoch: int) -> int:
         """Static epoch_id with at most two values (before/after the
@@ -259,12 +306,16 @@ class Trainer:
                 if print_train_batch:
                     print(f"epoch {epoch + 1} batch {bi} "
                           f"loss {float(loss):.4f}")
+            skipped = self._count_skips(losses)
             if (epoch + 1) % print_freq == 0:
-                mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+                mean_loss = float(jnp.nanmean(jnp.stack(losses))) if losses \
+                    else 0.0
                 msg = (f"Epoch {epoch + 1} of {n_epoch} took "
                        f"{time.time() - t0:.2f}s | train loss: {mean_loss:.4f}")
                 if self.metrics is not None:
                     msg += f" | train acc: {self.metrics.result():.4f}"
+                if skipped:
+                    msg += f" | nan_guard skipped {skipped} step(s)"
                 print(msg)
                 if test_dataset is not None:
                     print(f"   val: {self.evaluate(test_dataset)}")
@@ -307,7 +358,9 @@ class Trainer:
                     if self.metrics is not None:
                         self.metrics.update(_host(out), _host(y))
                     prog.advance(btask)
-                mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+                self._count_skips(losses)
+                mean_loss = float(jnp.nanmean(jnp.stack(losses))) if losses \
+                    else 0.0
                 desc = f"[red]Epochs (loss {mean_loss:.4f}"
                 if self.metrics is not None:
                     desc += f", metric {self.metrics.result():.4f}"
