@@ -90,3 +90,40 @@ def test_bf16_weights_roundtrip(tmp_path):
         assert np.asarray(p2[k]).dtype.name == "bfloat16"
         np.testing.assert_array_equal(np.asarray(p2[k], np.float32),
                                       np.asarray(params[k], np.float32))
+
+
+def test_trainer_checkpoint_resume_exact(tmp_path, rng):
+    """Trainer.save_checkpoint/restore_checkpoint: exact resume incl.
+    optimizer state, EMA params and step counter."""
+    import optax
+
+    from tlxcv_tpu.train import Trainer
+
+    net = Net()
+    tr = Trainer(net, loss_fn=lambda o, t: optax.softmax_cross_entropy_with_integer_labels(o, t).mean(),
+                 optimizer=optax.adam(1e-2), ema_decay=0.9)
+    x = jnp.asarray(rng.normal(size=(8, 4)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, size=(8,)), jnp.int32)
+
+    def step():
+        (tr.params, tr.state, tr.opt_state, tr.ema_params, loss, _
+         ) = tr._train_step(tr.params, tr.state, tr.opt_state,
+                            tr.ema_params, x, y, jax.random.key(tr.step))
+        tr.step += 1
+        return loss
+
+    for _ in range(3):
+        step()
+    path = str(tmp_path / "tr.npz")
+    tr.save_checkpoint(path)
+    la = float(step())  # branch A: one more step
+    pa = {k: np.asarray(v) for k, v in tr.params.items()}
+    ea = {k: np.asarray(v) for k, v in tr.ema_params.items()}
+
+    tr.restore_checkpoint(path)
+    assert tr.step == 3
+    lb = float(step())  # branch B: replay the same step
+    assert la == lb
+    for k in pa:
+        np.testing.assert_array_equal(np.asarray(tr.params[k]), pa[k])
+        np.testing.assert_array_equal(np.asarray(tr.ema_params[k]), ea[k])

@@ -408,6 +408,32 @@ class Trainer:
         self._sync_to_network()
         self.network.save_weights(path)
 
+    # full train-state checkpoint (params + BN stats + optimizer + EMA +
+    # step) — exact resume, unlike the weights-only save above
+    def save_checkpoint(self, path: str):
+        from ..utils.checkpoint import TrainCheckpoint
+
+        extra = {"ema": self.ema_params} if self.ema_params is not None \
+            else None
+        TrainCheckpoint.save(path, self.params, self.state, self.opt_state,
+                             self.step, extra=extra)
+
+    def restore_checkpoint(self, path: str):
+        from ..utils.checkpoint import TrainCheckpoint
+
+        extra = {"ema": self.ema_params} if self.ema_params is not None \
+            else None
+        out = TrainCheckpoint.restore(path, self.params, self.state,
+                                      self.opt_state, extra=extra)
+        self.params, self.state, self.opt_state, self.step = out[:4]
+        if extra is not None:
+            self.ema_params = out[4]["ema"]
+        if getattr(self, "param_shardings", None):
+            from ..parallel.mesh import place_params
+
+            self.params = place_params(self.params, self.param_shardings)
+        return self
+
     def load_weights(self, path: str):
         self.network.load_weights(path)
         self.params, self.state = split(self.network)

@@ -92,8 +92,13 @@ class TrainCheckpoint:
     """Save/restore (params, state, opt_state, step) as npz + manifest."""
 
     @staticmethod
-    def save(path: str, params, state, opt_state, step: int):
-        flat_p = _flatten({"params": params, "state": state})
+    def save(path: str, params, state, opt_state, step: int, extra=None):
+        """``extra`` is an optional {name: flat-dict} of additional
+        trees (e.g. the Trainer's EMA params)."""
+        tree = {"params": params, "state": state}
+        if extra:
+            tree["extra"] = extra
+        flat_p = _flatten(tree)
         leaves, treedef = jax.tree_util.tree_flatten(opt_state)
         arrays = {f"opt/{i}": l for i, l in enumerate(leaves)}
         arrays.update(flat_p)
@@ -101,8 +106,10 @@ class TrainCheckpoint:
         np.savez(path, **_savable(arrays))
 
     @staticmethod
-    def restore(path: str, params, state, opt_state):
-        """Restore into the given templates (shapes/treedefs must match)."""
+    def restore(path: str, params, state, opt_state, extra=None):
+        """Restore into the given templates (shapes/treedefs must match).
+        Returns (params, state, opt_state, step) — plus the restored
+        ``extra`` dict as a fifth element when ``extra`` is given."""
         with np.load(path) as data:
             arrays = _restore_dtypes({k: data[k] for k in data.files})
         new_params = {k: arrays[f"params/{k}"] for k in params}
@@ -111,4 +118,8 @@ class TrainCheckpoint:
         new_leaves = [arrays[f"opt/{i}"] for i in range(len(leaves))]
         new_opt = jax.tree_util.tree_unflatten(treedef, new_leaves)
         step = int(arrays["step"])
-        return new_params, new_state, new_opt, step
+        if extra is None:
+            return new_params, new_state, new_opt, step
+        new_extra = {name: {k: arrays[f"extra/{name}/{k}"] for k in tree}
+                     for name, tree in extra.items()}
+        return new_params, new_state, new_opt, step, new_extra
