@@ -223,7 +223,30 @@ def bench_hrnet_seg():
     return _throughput(infer, (_bf16(params), state, x), batch, n_iters=10)
 
 
+WATCHDOG_S = 5400  # full bench is ~30 min incl. compiles; 90 min = wedged
+
+
 def main():
+    # Relay watchdog: a wedged axon relay blocks the first dispatch
+    # FOREVER inside the client retry loop (r3: 8h outage observed).
+    # Emit one honest JSON error line and exit instead of hanging the
+    # driver's round-end bench run.
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(WATCHDOG_S):
+            print(json.dumps({
+                "metric": "resnet50_infer_images_per_sec_per_chip",
+                "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+                "error": f"TPU unreachable/wedged after {WATCHDOG_S}s",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     resnet_ips = bench_resnet50()
     yolo_ips = bench_yolov3()
     resnet_int8 = bench_resnet50_int8()
@@ -231,6 +254,7 @@ def main():
     mrcnn_ips = bench_mask_rcnn()
     vit_ips = bench_vit()
     hrnet_ips = bench_hrnet_seg()
+    done.set()
     print(json.dumps({
         "metric": "resnet50_infer_images_per_sec_per_chip",
         "value": round(resnet_ips, 2),
