@@ -296,3 +296,26 @@ def test_wing_loss_piecewise_values():
     g = jax.grad(lambda p: wing_loss(p, jnp.zeros(1), w=w, epsilon=eps))(
         jnp.asarray([0.01]))
     assert float(g[0]) > 1.0
+
+
+def test_rescale_dets_and_cvt_results():
+    """Public post-process helpers (reference BBoxPostProcess rescale +
+    result conversion, post_process.py:96-130, utils/ops.py:397-406)."""
+    # two images: one det at 2x scale, one padded-away row
+    dets = jnp.asarray([
+        [[1, 0.9, 20, 40, 60, 80], [-1, 0, 0, 0, 0, 0]],
+        [[2, 0.8, 10, 10, 30, 30], [0, 0.5, 5, 5, 0, 0]],  # zero-area
+    ], jnp.float32)
+    counts = jnp.asarray([1, 2])
+    scale = jnp.asarray([[2.0, 2.0], [1.0, 1.0]])   # (sy, sx)
+    orig = jnp.asarray([[35, 25], [100, 100]])      # (h, w): clips img 0
+    out, n = ops.rescale_dets(dets, counts, scale, orig_hw=orig)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0, 0, 2:], [10, 20, 25, 35], atol=1e-5)
+    assert list(np.asarray(n)) == [1, 1]            # zero-area dropped
+    res = ops.cvt_results(out, n)
+    assert len(res) == 2
+    assert res[0]["labels"].tolist() == [1]
+    assert res[1]["labels"].tolist() == [2]
+    np.testing.assert_allclose(res[0]["boxes"][0], [10, 20, 25, 35],
+                               atol=1e-5)
