@@ -69,6 +69,28 @@ def save_path(tmp_path, art):
 import pytest
 
 
+def test_export_multi_platform_from_cpu_host(tmp_path, rng):
+    """Cross-platform lowering: a CPU host builds ONE artifact that
+    carries both tpu and cpu lowerings (build box != serving box)."""
+    import tlxcv_tpu.nn as nn
+
+    class Tiny(nn.Module):
+        def __init__(self):
+            self.fc = nn.Linear(8, 3)
+
+        def __call__(self, x):
+            return self.fc(x)
+
+    m = Tiny()
+    art = export_model(m, (8,), platforms=("tpu", "cpu"))
+    assert art.platforms == ("tpu", "cpu")
+    serve = load_exported(str(save_path(tmp_path, art)))
+    x = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    ref, _ = pure(m)(*split(m), x)
+    np.testing.assert_allclose(np.asarray(serve(x)), np.asarray(ref),
+                               atol=1e-5)
+
+
 @pytest.mark.slow
 def test_export_full_detector_predict_path(tmp_path, rng):
     """The whole serving graph — backbone + head + box decode + the
