@@ -103,7 +103,22 @@ def test_pfld_overfits_to_nme(rng):
     for _ in range(250):
         params, state, ost, loss = step(params, state, ost)
 
-    (pred_lm, _), _ = pure(model)(params, state, x, training=False)
+    # learning check runs in TRAIN mode (batch stats).  Eval-mode
+    # equality is unattainable for a batch-2 memorization now that
+    # running_var stores the torch-faithful UNBIASED batch variance:
+    # eval normalization differs from training by n/(n-1) per BN
+    # (n = B*H*W), and a zero-margin 2-sample fit amplifies that tiny
+    # systematic offset through PFLD's ~60 serial BNs to NME ~0.8
+    # (measured; torch behaves identically at batch 2).  Real-recipe
+    # eval is covered by the hermetic NME accuracy bar, which trains at
+    # calibration-sized batches.
+    (pred_lm, _), _ = pure(model)(params, state, x, training=True,
+                                  rngs=Rngs(jax.random.key(1)))
     nme = NME()
     nme.update(np.asarray(pred_lm), np.asarray(lm))
     assert nme.result() < 0.05, nme.result()
+
+    # eval path still runs and stays finite (its quality bar lives in
+    # demo/facial_landmark_detection/accuracy_check.py)
+    (pred_eval, _), _ = pure(model)(params, state, x, training=False)
+    assert np.isfinite(np.asarray(pred_eval)).all()
