@@ -200,8 +200,11 @@ class StyleGANv2Trainer:
         self._sync_to_network()
         import numpy as _np
 
+        from ..utils.checkpoint import _savable
+
         arrs = {f"G/{k}": _np.asarray(v) for k, v in {**self.pg,
                                                       **self.sg}.items()}
         arrs.update({f"D/{k}": _np.asarray(v) for k, v in {**self.pd,
                                                            **self.sd}.items()})
-        _np.savez(path, **arrs)
+        # _savable: npz silently corrupts ml_dtypes (bf16) leaves
+        _np.savez(path, **_savable(arrs))
