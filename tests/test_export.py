@@ -91,6 +91,35 @@ def test_export_multi_platform_from_cpu_host(tmp_path, rng):
                                atol=1e-5)
 
 
+def test_export_sharded_multi_device(tmp_path, rng):
+    """Multi-device serving artifact: batch sharded over the virtual
+    8-device mesh serializes with its topology and round-trips exact."""
+    import tlxcv_tpu.nn as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tlxcv_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, 1)
+    shard = NamedSharding(mesh, P("data"))
+
+    class Tiny(nn.Module):
+        def __init__(self):
+            self.fc1 = nn.Linear(16, 32)
+            self.fc2 = nn.Linear(32, 4)
+
+        def __call__(self, x):
+            return self.fc2(nn.relu(self.fc1(x)))
+
+    m = Tiny()
+    art = export_model(m, (16,), batch=16, sharding=shard)
+    assert art.nr_devices == 8
+    serve = load_exported(str(save_path(tmp_path, art)))
+    x = jnp.asarray(rng.normal(size=(16, 16)), jnp.float32)
+    ref, _ = pure(m)(*split(m), x)
+    out = serve(jax.device_put(x, shard))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 @pytest.mark.slow
 def test_export_full_detector_predict_path(tmp_path, rng):
     """The whole serving graph — backbone + head + box decode + the

@@ -33,14 +33,18 @@ def export_model(model, input_shape: tp.Sequence[int], *,
                  batch: tp.Union[str, int, None] = "b",
                  dtype=jnp.float32, method: str = "__call__",
                  platforms: tp.Optional[tp.Sequence[str]] = None,
-                 extra_specs: tp.Sequence[jax.ShapeDtypeStruct] = ()):
+                 extra_specs: tp.Sequence[jax.ShapeDtypeStruct] = (),
+                 sharding=None):
     """Export ``model.method`` with params/state baked in.
 
     ``input_shape`` is the per-example shape (H, W, C); ``batch`` is a
     symbolic-dimension name (default ``"b"`` — the artifact accepts any
     batch size) or a concrete int for a fixed-batch artifact.
     ``platforms`` lowers for specific backends (e.g. ``("tpu", "cpu")``);
-    default is the current backend.  Returns a ``jax.export.Exported``.
+    default is the current backend.  ``sharding`` (a ``NamedSharding``,
+    e.g. batch over a mesh 'data' axis) exports a MULTI-DEVICE serving
+    artifact — the mesh topology and collectives serialize with it;
+    requires a concrete ``batch``.  Returns a ``jax.export.Exported``.
     """
     params, state = split(model)
     fwd = pure(model, method)
@@ -50,14 +54,19 @@ def export_model(model, input_shape: tp.Sequence[int], *,
         return out
 
     if isinstance(batch, str):
+        if sharding is not None:
+            raise ValueError("sharded export needs a concrete batch size")
         bdim = jexport.symbolic_shape(batch)[0]
     else:
         bdim = int(batch) if batch is not None else 1
-    spec = jax.ShapeDtypeStruct((bdim, *input_shape), dtype)
+    spec = jax.ShapeDtypeStruct((bdim, *input_shape), dtype,
+                                sharding=sharding)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    return jexport.export(jax.jit(serve_fn), **kwargs)(spec, *extra_specs)
+    jit_kwargs = {} if sharding is None else {"in_shardings": sharding}
+    return jexport.export(jax.jit(serve_fn, **jit_kwargs),
+                          **kwargs)(spec, *extra_specs)
 
 
 def save_exported(path: str, exported) -> int:
