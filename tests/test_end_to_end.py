@@ -313,3 +313,32 @@ def test_no_decay_mask_exempts_bias_and_norm(rng):
     up, _ = tx.update(zeros, st, params)
     for k, decayed in mask.items():
         assert (float(jnp.abs(up[k]).max()) > 0) == decayed, k
+
+
+def test_nan_guard_freezes_ema_on_skip(rng):
+    """A guarded skip must freeze the EMA too: the naive ordering still
+    decays the average toward the (unchanged) params on a skipped step,
+    moving eval weights on a batch that was supposed to be a no-op."""
+    import optax
+
+    x, y = make_classification_data(rng, n=16)
+    model = ImageClassification(resnet18(num_classes=4))
+    tr = Trainer(model, optimizer=optax.adam(1e-3), nan_guard=True,
+                 ema_decay=0.5)  # aggressive decay: any drift is visible
+
+    def step(xb, yb):
+        xb, yb = tr._put_batch((xb, yb))
+        (tr.params, tr.state, tr.opt_state, tr.ema_params, loss, _
+         ) = tr._train_step(tr.params, tr.state, tr.opt_state,
+                            tr.ema_params, xb, yb, jax.random.key(0))
+        return loss
+
+    step(x[:8], y[:8])  # one clean step: ema != params now
+    ema_before = {k: np.asarray(v) for k, v in tr.ema_params.items()}
+    poison = x[8:16].copy()
+    poison[0, 0, 0, 0] = np.nan
+    loss = step(poison, y[8:16])
+    assert np.isnan(float(loss))
+    for k in list(ema_before)[:6]:
+        np.testing.assert_array_equal(np.asarray(tr.ema_params[k]),
+                                      ema_before[k])

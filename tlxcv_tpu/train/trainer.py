@@ -204,6 +204,7 @@ class Trainer:
             new_updates, new_opt_state = optimizer.update(grads, opt_state,
                                                           params)
             new_params = optax.apply_updates(params, new_updates)
+            sel = None
             if do_nan_guard:
                 # one reduction over the grads: any inf/NaN poisons the
                 # sum, so isfinite(total) == all leaves finite
@@ -220,9 +221,15 @@ class Trainer:
                 loss = jnp.where(ok, loss, jnp.float32(jnp.nan))
             params, opt_state = new_params, new_opt_state
             if ema is not None:  # trace-time branch (ema is None or a dict)
-                ema = jax.tree_util.tree_map(
+                new_ema = jax.tree_util.tree_map(
                     lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
                     ema, params)
+                if sel is not None:
+                    # a guarded skip must freeze the EMA too — without
+                    # this it decays toward the (unchanged) params, i.e.
+                    # the average moves even though the step was skipped
+                    new_ema = jax.tree_util.tree_map(sel, new_ema, ema)
+                ema = new_ema
             return params, new_state, opt_state, ema, loss, out
 
         @jax.jit
@@ -425,13 +432,27 @@ class Trainer:
             else None
         out = TrainCheckpoint.restore(path, self.params, self.state,
                                       self.opt_state, extra=extra)
-        self.params, self.state, self.opt_state, self.step = out[:4]
-        if extra is not None:
-            self.ema_params = out[4]["ema"]
-        if getattr(self, "param_shardings", None):
-            from ..parallel.mesh import place_params
 
-            self.params = place_params(self.params, self.param_shardings)
+        # re-place every restored leaf on its template's sharding: under
+        # param_sharding="fsdp" the live params/opt/EMA are ZeRO-3
+        # sharded over the mesh, and feeding replicated host arrays back
+        # into the donated train step would silently re-replicate the
+        # optimizer state (defeating the sharding) or break donation
+        def _like(template, new):
+            def put(t, n):
+                sh = getattr(t, "sharding", None)
+                a = jnp.asarray(n)
+                if sh is not None and not sh.is_fully_replicated:
+                    return jax.device_put(a, sh)
+                return a  # replicated: stay uncommitted, jit places it
+            return jax.tree_util.tree_map(put, template, new)
+
+        self.params = _like(self.params, out[0])
+        self.state = _like(self.state, out[1])
+        self.opt_state = _like(self.opt_state, out[2])
+        self.step = out[3]
+        if extra is not None:
+            self.ema_params = _like(self.ema_params, out[4]["ema"])
         return self
 
     def load_weights(self, path: str):
