@@ -35,6 +35,17 @@ def _bf16(params):
             for k, v in params.items()}
 
 
+def _alive():
+    """Heartbeat for the wedge watchdog: called whenever a dispatch
+    completes, so slow-but-progressing runs (cold compiles) are never
+    mistaken for a wedged relay."""
+    global _LAST_PROGRESS
+    _LAST_PROGRESS = time.monotonic()
+
+
+_LAST_PROGRESS = time.monotonic()
+
+
 def _throughput(step, args, batch, n_iters=20, warmup=3, reps=5):
     """Fetch-forced timing: on the axon relay block_until_ready()
     returns before the device finishes, so a host fetch is the honest
@@ -45,14 +56,17 @@ def _throughput(step, args, batch, n_iters=20, warmup=3, reps=5):
     reported number is the MEDIAN of `reps` independent rounds of
     `n_iters` chained steps."""
     float(step(*args))  # compile
+    _alive()
     for _ in range(warmup):
         float(step(*args))
+        _alive()
     rates = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             out = step(*args)
         float(out)
+        _alive()
         rates.append(batch * n_iters / (time.perf_counter() - t0))
     rates.sort()
     return rates[len(rates) // 2]
@@ -223,36 +237,54 @@ def bench_hrnet_seg():
     return _throughput(infer, (_bf16(params), state, x), batch, n_iters=10)
 
 
-WATCHDOG_S = 5400  # full bench is ~30 min incl. compiles; 90 min = wedged
+WATCHDOG_S = 1800  # max silence between COMPLETED dispatches; the
+# longest healthy gap is one cold compile (~250s for detection NMS
+# paths), so 30 min with zero dispatches finishing means a wedged relay
 
 
 def main():
-    # Relay watchdog: a wedged axon relay blocks the first dispatch
-    # FOREVER inside the client retry loop (r3: 8h outage observed).
-    # Emit one honest JSON error line and exit instead of hanging the
-    # driver's round-end bench run.
+    # Relay watchdog: a wedged axon relay blocks a dispatch FOREVER
+    # inside the client retry loop (r3: 15h outage observed).  This is a
+    # LIVENESS probe, not a total-time budget: every completed dispatch
+    # resets the clock (_alive), so a healthy-but-slow cold-cache run of
+    # all 7 benchmarks can take as long as it needs, while a true wedge
+    # is detected within WATCHDOG_S.  On wedge, emit one JSON line
+    # carrying the error plus any benchmarks that DID finish, exit 2.
     import os
     import threading
 
     done = threading.Event()
+    partial = {}
 
     def watchdog():
-        if not done.wait(WATCHDOG_S):
-            print(json.dumps({
-                "metric": "resnet50_infer_images_per_sec_per_chip",
-                "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
-                "error": f"TPU unreachable/wedged after {WATCHDOG_S}s",
-            }), flush=True)
-            os._exit(2)
+        while not done.wait(30):
+            quiet = time.monotonic() - _LAST_PROGRESS
+            if quiet > WATCHDOG_S:
+                line = {
+                    "metric": "resnet50_infer_images_per_sec_per_chip",
+                    "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+                    "error": ("TPU unreachable/wedged: no dispatch "
+                              f"completed for {int(quiet)}s"),
+                }
+                line.update(partial)
+                print(json.dumps(line), flush=True)
+                os._exit(2)
 
     threading.Thread(target=watchdog, daemon=True).start()
 
     resnet_ips = bench_resnet50()
+    partial["value"] = round(resnet_ips, 2)
+    partial["vs_baseline"] = round(resnet_ips / RESNET_TARGET, 4)
     yolo_ips = bench_yolov3()
+    partial["yolov3_value"] = round(yolo_ips, 2)
     resnet_int8 = bench_resnet50_int8()
+    partial["resnet50_int8_value"] = round(resnet_int8, 2)
     yolo_int8 = bench_yolov3_int8()
+    partial["yolov3_int8_value"] = round(yolo_int8, 2)
     mrcnn_ips = bench_mask_rcnn()
+    partial["mask_rcnn_640_value"] = round(mrcnn_ips, 2)
     vit_ips = bench_vit()
+    partial["vit_b16_value"] = round(vit_ips, 2)
     hrnet_ips = bench_hrnet_seg()
     done.set()
     print(json.dumps({

@@ -342,3 +342,101 @@ def test_nan_guard_freezes_ema_on_skip(rng):
     for k in list(ema_before)[:6]:
         np.testing.assert_array_equal(np.asarray(tr.ema_params[k]),
                                       ema_before[k])
+
+
+def test_ema_advances_once_per_accum_cycle(rng):
+    """Under grad_accum=k the EMA must advance once per APPLIED update,
+    not once per microbatch — otherwise the effective decay is
+    ema_decay**k and the averaging horizon silently shrinks k-fold."""
+    import optax
+
+    x, y = make_classification_data(rng, n=16)
+    model = ImageClassification(vgg11(num_classes=4, dropout=0.0))
+    tr = Trainer(model, optimizer=optax.sgd(1e-2), grad_accum=4,
+                 ema_decay=0.5)
+    init = {k: np.asarray(v) for k, v in tr.params.items()}
+
+    def micro(i):
+        xb, yb = tr._put_batch((x[i * 4:(i + 1) * 4], y[i * 4:(i + 1) * 4]))
+        (tr.params, tr.state, tr.opt_state, tr.ema_params, _, _
+         ) = tr._train_step(tr.params, tr.state, tr.opt_state,
+                            tr.ema_params, xb, yb, jax.random.key(0))
+
+    probe = [k for k in tr.params if "kernel" in k or "weight" in k][:4]
+    for i in range(3):  # accumulation no-ops: params AND ema frozen
+        micro(i)
+        for k in probe:
+            np.testing.assert_array_equal(np.asarray(tr.ema_params[k]),
+                                          init[k])
+    micro(3)  # the applied update: exactly ONE ema step
+    for k in probe:
+        expect = 0.5 * init[k] + 0.5 * np.asarray(tr.params[k])
+        np.testing.assert_allclose(np.asarray(tr.ema_params[k]), expect,
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_resumes_rng_stream(rng, tmp_path):
+    """restore_checkpoint must restore the trainer RNG: for any model
+    that consumes rngs in training (dropout), the resumed run's mask
+    stream must continue where the saved run left off, not restart from
+    the seed."""
+    import optax
+
+    x, y = make_classification_data(rng, n=16)
+    ds = [(x[:8], y[:8]), (x[8:], y[8:])]
+
+    def make():
+        from tlxcv_tpu.core.init import set_seed
+
+        set_seed(0)
+        m = ImageClassification(vgg11(num_classes=4, dropout=0.5))
+        return Trainer(m, optimizer=optax.sgd(1e-2), seed=7)
+
+    tr = make()
+    tr.train(2, ds, print_freq=10)
+    tr.nan_skips = 5  # also part of the loop state
+    path = str(tmp_path / "rng_ckpt.npz")
+    tr.save_checkpoint(path)
+    tr.train(1, ds, print_freq=10)  # branch A: uninterrupted
+
+    tr2 = make()
+    tr2.restore_checkpoint(path)
+    assert tr2.nan_skips == 5
+    tr2.train(1, ds, print_freq=10)  # branch B: resumed
+    for k in list(tr.params)[:6]:
+        np.testing.assert_allclose(np.asarray(tr.params[k]),
+                                   np.asarray(tr2.params[k]),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_metrics_exclude_nan_guard_skipped_batches(rng):
+    """A guarded skip is a no-op by contract: the poisoned batch's
+    garbage forward outputs must not feed the epoch train metric."""
+    import optax
+
+    from tlxcv_tpu.utils.metrics import Metric
+
+    class CountingAcc(Metric):
+        def __init__(self):
+            self.calls = 0
+
+        def reset(self):
+            self.calls = 0
+
+        def update(self, out, y):
+            self.calls += 1
+            assert np.isfinite(np.asarray(out)).all(), \
+                "skipped batch reached the metric"
+
+        def result(self):
+            return float(self.calls)
+
+    x, y = make_classification_data(rng, n=32)
+    x[12, 0, 0, 0] = np.nan  # batch 1 of 4 is poisoned
+    model = ImageClassification(resnet18(num_classes=4))
+    tr = Trainer(model, optimizer=optax.adam(1e-3), nan_guard=True,
+                 metrics=CountingAcc())
+    ds = [(x[i:i + 8], y[i:i + 8]) for i in range(0, 32, 8)]
+    tr.train(1, ds, print_freq=10)
+    assert tr.nan_skips == 1
+    assert tr.metrics.calls == 3

@@ -74,7 +74,9 @@ class Trainer:
         ``grad_accum=k`` accumulates gradients over k microbatches
         before applying one (averaged) optimizer update — an effective
         batch k× what fits in HBM (optax.MultiSteps; schedules advance
-        once per accumulated step, matching large-batch semantics).
+        once per accumulated step, matching large-batch semantics; the
+        EMA likewise advances once per APPLIED update, not per
+        microbatch, keeping the averaging horizon batch-size-invariant).
 
         ``nan_guard=True`` checks loss + gradients for non-finite values
         INSIDE the jitted step and skips the whole update (params, opt
@@ -174,6 +176,7 @@ class Trainer:
         do_remat = bool(remat)
         self.remat = do_remat
         do_nan_guard = self.nan_guard
+        do_accum = self.grad_accum > 1
 
         # donate the optimizer state (2x params for Adam — the largest
         # transiently-doubled buffer).  params/ema are NOT donated: at
@@ -221,14 +224,23 @@ class Trainer:
                 loss = jnp.where(ok, loss, jnp.float32(jnp.nan))
             params, opt_state = new_params, new_opt_state
             if ema is not None:  # trace-time branch (ema is None or a dict)
+                # the EMA advances ONLY on steps where the params really
+                # moved: a guarded skip must not decay the average toward
+                # the (unchanged) params, and under grad_accum the k-1
+                # MultiSteps accumulation no-ops must not shorten the
+                # averaging horizon k-fold (MultiSteps applies the inner
+                # update exactly when mini_step wraps to 0)
+                gate = None
+                if do_accum:
+                    gate = opt_state.mini_step == 0
+                if do_nan_guard:
+                    gate = ok if gate is None else (gate & ok)
                 new_ema = jax.tree_util.tree_map(
                     lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
                     ema, params)
-                if sel is not None:
-                    # a guarded skip must freeze the EMA too — without
-                    # this it decays toward the (unchanged) params, i.e.
-                    # the average moves even though the step was skipped
-                    new_ema = jax.tree_util.tree_map(sel, new_ema, ema)
+                if gate is not None:
+                    new_ema = jax.tree_util.tree_map(
+                        lambda n, o: jnp.where(gate, n, o), new_ema, ema)
                 ema = new_ema
             return params, new_state, opt_state, ema, loss, out
 
@@ -272,6 +284,23 @@ class Trainer:
         self.nan_skips += n
         return n
 
+    def _skipped(self, loss) -> bool:
+        """True when nan_guard marked this step skipped (loss=NaN) — the
+        batch's garbage forward outputs must not feed the epoch metric.
+        No-op (False) without the guard so no per-step host sync is
+        added to unguarded runs."""
+        return self.nan_guard and bool(np.isnan(np.asarray(loss)))
+
+    def _mean_loss(self, losses) -> float:
+        """Epoch-mean loss. nanmean ONLY under nan_guard (where NaN means
+        'skipped, excluded by contract'); without the guard a NaN loss is
+        real divergence and must stay visible in the epoch log."""
+        if not losses:
+            return 0.0
+        stack = jnp.stack(losses)
+        return float(jnp.nanmean(stack) if self.nan_guard else
+                     jnp.mean(stack))
+
     def _epoch_bucket(self, epoch: int) -> int:
         """Static epoch_id with at most two values (before/after the
         assigner switch) so jit retraces at most once."""
@@ -308,15 +337,14 @@ class Trainer:
                                       epoch_id=self._epoch_bucket(epoch))
                 self.step += 1
                 losses.append(loss)
-                if self.metrics is not None:
+                if self.metrics is not None and not self._skipped(loss):
                     self.metrics.update(_host(out), _host(y))
                 if print_train_batch:
                     print(f"epoch {epoch + 1} batch {bi} "
                           f"loss {float(loss):.4f}")
             skipped = self._count_skips(losses)
             if (epoch + 1) % print_freq == 0:
-                mean_loss = float(jnp.nanmean(jnp.stack(losses))) if losses \
-                    else 0.0
+                mean_loss = self._mean_loss(losses)
                 msg = (f"Epoch {epoch + 1} of {n_epoch} took "
                        f"{time.time() - t0:.2f}s | train loss: {mean_loss:.4f}")
                 if self.metrics is not None:
@@ -362,12 +390,11 @@ class Trainer:
                                           epoch_id=self._epoch_bucket(epoch))
                     self.step += 1
                     losses.append(loss)
-                    if self.metrics is not None:
+                    if self.metrics is not None and not self._skipped(loss):
                         self.metrics.update(_host(out), _host(y))
                     prog.advance(btask)
                 self._count_skips(losses)
-                mean_loss = float(jnp.nanmean(jnp.stack(losses))) if losses \
-                    else 0.0
+                mean_loss = self._mean_loss(losses)
                 desc = f"[red]Epochs (loss {mean_loss:.4f}"
                 if self.metrics is not None:
                     desc += f", metric {self.metrics.result():.4f}"
@@ -417,21 +444,30 @@ class Trainer:
 
     # full train-state checkpoint (params + BN stats + optimizer + EMA +
     # step) — exact resume, unlike the weights-only save above
+    def _ckpt_extra(self):
+        # the trainer's own loop state rides along: without the RNG key
+        # a resumed run's dropout/augmentation stream restarts from the
+        # seed and diverges from the uninterrupted run at the first batch
+        extra = {"trainer": {
+            "key": np.asarray(jax.random.key_data(self._key)),
+            "nan_skips": np.asarray(self.nan_skips),
+        }}
+        if self.ema_params is not None:
+            extra["ema"] = self.ema_params
+        return extra
+
     def save_checkpoint(self, path: str):
         from ..utils.checkpoint import TrainCheckpoint
 
-        extra = {"ema": self.ema_params} if self.ema_params is not None \
-            else None
         TrainCheckpoint.save(path, self.params, self.state, self.opt_state,
-                             self.step, extra=extra)
+                             self.step, extra=self._ckpt_extra())
 
     def restore_checkpoint(self, path: str):
         from ..utils.checkpoint import TrainCheckpoint
 
-        extra = {"ema": self.ema_params} if self.ema_params is not None \
-            else None
         out = TrainCheckpoint.restore(path, self.params, self.state,
-                                      self.opt_state, extra=extra)
+                                      self.opt_state,
+                                      extra=self._ckpt_extra())
 
         # re-place every restored leaf on its template's sharding: under
         # param_sharding="fsdp" the live params/opt/EMA are ZeRO-3
@@ -451,8 +487,12 @@ class Trainer:
         self.state = _like(self.state, out[1])
         self.opt_state = _like(self.opt_state, out[2])
         self.step = out[3]
-        if extra is not None:
-            self.ema_params = _like(self.ema_params, out[4]["ema"])
+        extra = out[4]
+        self._key = jax.random.wrap_key_data(
+            jnp.asarray(extra["trainer"]["key"]))
+        self.nan_skips = int(extra["trainer"]["nan_skips"])
+        if "ema" in extra:
+            self.ema_params = _like(self.ema_params, extra["ema"])
         return self
 
     def load_weights(self, path: str):

@@ -120,6 +120,9 @@ class TrainCheckpoint:
         step = int(arrays["step"])
         if extra is None:
             return new_params, new_state, new_opt, step
-        new_extra = {name: {k: arrays[f"extra/{name}/{k}"] for k in tree}
+        # tolerate extra keys absent from the file (older checkpoints):
+        # missing entries keep the caller's template (live) value
+        new_extra = {name: {k: arrays.get(f"extra/{name}/{k}", tree[k])
+                            for k in tree}
                      for name, tree in extra.items()}
         return new_params, new_state, new_opt, step, new_extra
