@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Pending-TPU-work runner (VERDICT r3 item #8).
+#
+# Every outstanding TPU validation, re-derivable from the repo, in one
+# committed script — so a relay outage or box reboot can never orphan
+# the plan again (the r3 /tmp queue chain was lost to exactly that).
+#
+# Serializes everything through the single relay chip.  Each item is
+# bounded by `timeout` and the queue continues past a failing bar
+# (every accuracy_check writes its results JSON *before* asserting, so
+# a miss still produces the artifact for the CI gate to judge).
+#
+# Usage:  bash demo/run_pending_tpu.sh [item ...]
+#   items: video face iseg sweep swin vit gather bench_train
+#   (default: all, in that order — short high-value bars first)
+set -u
+cd "$(dirname "$0")/.."
+LOG=${TPU_QUEUE_LOG:-/tmp}
+ITEMS=("$@")
+[ ${#ITEMS[@]} -eq 0 ] && ITEMS=(video face iseg sweep swin vit gather)
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "== [$(date +%H:%M:%S)] $name =="
+  timeout "$t" "$@" >"$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "== [$(date +%H:%M:%S)] $name rc=$rc (log $LOG/$name.log)"
+  tail -3 "$LOG/$name.log" | sed 's/^/   /'
+}
+
+for item in "${ITEMS[@]}"; do case $item in
+  video)  run video_bar  4000 python demo/video_classification/accuracy_check.py ;;
+  face)   run face_bar   9000 python demo/face_recognition/accuracy_check.py ;;
+  pfld)   run pfld_bar   9000 python demo/facial_landmark_detection/accuracy_check.py ;;
+  iseg)   run iseg      10000 python demo/object_detection/accuracy_check_instance_seg.py ;;
+  sweep)  run sweep     24000 python demo/object_detection/accuracy_sweep.py ;;
+  swin)   run prof_swin  4000 python demo/image_classification/profile_swin.py ;;
+  vit)    run prof_vit   4000 python demo/image_classification/profile_vit.py ;;
+  gather) run gather     3600 python demo/object_detection/probe_gather_kernel.py ;;
+  bench_train) run bench_train 4000 python demo/image_classification/bench_train.py ;;
+  bench)  run bench      3600 python bench.py ;;
+  *) echo "unknown item: $item" ;;
+esac; done
+echo "== ALL DONE =="
