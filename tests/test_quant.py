@@ -160,3 +160,74 @@ def test_int8_ppyoloe_serving(rng):
     q_counts = np.asarray(jax.tree_util.tree_leaves(out)[-1])
     # random-input detections: counts must agree (no systematic drift)
     assert np.abs(ref_counts.astype(int) - q_counts.astype(int)).max() <= 1
+
+
+def test_fold_batchnorm_float_exact(rng):
+    """BN folding on a FLOAT model is a numerical identity (eval mode)."""
+    from tlxcv_tpu.ops.quant import fold_batchnorm
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    m = resnet18(num_classes=10)
+    # non-trivial running stats (fresh BN stats are mean 0 / var 1)
+    for _, mod in m.modules():
+        if type(mod).__name__ == "BatchNorm":
+            c = mod.running_mean.value.shape[0]
+            mod.running_mean.value = jnp.asarray(
+                rng.normal(scale=0.2, size=(c,)), jnp.float32)
+            mod.running_var.value = jnp.asarray(
+                rng.uniform(0.5, 2.0, size=(c,)), jnp.float32)
+    p, s = split(m)
+    ref, _ = pure(m)(p, s, x)
+
+    n = fold_batchnorm(m, np.asarray(x))
+    assert n == 20  # every BN in resnet18 sits behind a conv
+    p2, s2 = split(m)
+    out, _ = jax.jit(lambda pp, ss, v: pure(m)(pp, ss, v))(p2, s2, x)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-3 * float(
+        jnp.max(jnp.abs(ref)))
+    # folded BNs refuse training
+    with pytest.raises(RuntimeError):
+        pure(m, lambda mm, v: mm(v))(p2, s2, x, training=True)
+
+
+def test_quantize_for_serving_fused_graph(rng):
+    """Full pipeline: fold -> int8 -> calibrate -> producer-side
+    requantize.  The fused graph matches the unfused int8 graph, fuses
+    exactly the linear conv->conv edges (not residual-feeding convs),
+    and carries int8 between fused layers."""
+    from tlxcv_tpu.ops.quant import (calibrate_activations, fold_batchnorm,
+                                     fuse_requantize, quantize_for_serving)
+
+    x = jnp.asarray(rng.normal(size=(4, 64, 64, 3)), jnp.float32)
+    m = resnet18(num_classes=10)
+    p, s = split(m)
+    ref, _ = pure(m)(p, s, x)
+
+    # unfused int8 baseline on an identical twin (same init -> same nets)
+    m2 = resnet18(num_classes=10)
+    m2.load_state_dict({**p, **s})
+    quantize_weights(m2)
+    calibrate_activations(m2, [np.asarray(x[:2])])
+    p8, s8 = split(m2)
+    base, _ = pure(m2)(p8, s8, x)
+
+    n_fold, n_q, n_cal, n_fuse = quantize_for_serving(
+        m, [np.asarray(x[:2])])
+    assert (n_fold, n_q, n_cal) == (20, 21, 21)
+    # resnet18 BasicBlock: conv1->conv2 fuses in all 8 blocks.  conv2
+    # feeds the residual add (untraced) so it never fuses; downsample
+    # convs never fuse; the STEM does not fuse either — its maxpool
+    # output ALSO feeds layer1.0's residual add, which the trace cannot
+    # see but the numerical rollback catches (the whole reason fusion
+    # is verified, not structural).
+    assert n_fuse == 8
+    fused = [path for path, mod in m.modules()
+             if getattr(mod, "out_scale", None) is not None]
+    assert len(fused) == 8
+    assert all(f.endswith("conv1") and "layer" in f for f in fused)
+
+    pf, sf = split(m)
+    assert any(k.endswith("out_scale") for k in pf)
+    out, _ = jax.jit(lambda pp, ss, v: pure(m)(pp, ss, v))(pf, sf, x)
+    assert _cos(base, out) > 0.999
+    assert _cos(ref, out) > 0.995

@@ -189,15 +189,28 @@ class Conv2d(Module):
         """Quantized serving path (ops.quant): int8 weights with
         per-output-channel scales; when an activation scale has been
         calibrated the conv runs int8 x int8 -> int32 on the MXU (2x
-        bf16 peak on v5e), else weight-only dequantized bf16."""
+        bf16 peak on v5e), else weight-only dequantized bf16.
+
+        Producer-side requantization (ops.quant.fuse_requantize): with
+        ``out_scale`` set, the int32 accumulator is scaled + biased (+
+        folded ReLU) and requantized to int8 inside this conv's own XLA
+        output fusion, so the inter-layer HBM buffer is 1 byte/elt and
+        the consumer (which then receives ``x.dtype == int8``) skips
+        its activation quantize entirely."""
+        int8_in = x.dtype == jnp.int8
+        # int8-in happens only on the fused serving path, which is bf16
+        # between blocks — f32 here would double block-boundary buffers
         out_dtype = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) \
-            else jnp.float32
+            else (jnp.bfloat16 if int8_in else jnp.float32)
         w_scale = self.w_scale.value  # [Cout] f32
         a_scale = getattr(self, "a_scale", None)
         if a_scale is not None:
             s_in = a_scale.value  # scalar f32
-            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
-                          -127, 127).astype(jnp.int8)
+            if int8_in:
+                xq = x  # producer already emitted this layer's quantization
+            else:
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
+                              -127, 127).astype(jnp.int8)
             y = lax.conv_general_dilated(
                 xq, w, window_strides=self.stride, padding=self.padding,
                 rhs_dilation=self.dilation,
@@ -205,13 +218,21 @@ class Conv2d(Module):
                 feature_group_count=self.groups,
                 preferred_element_type=jnp.int32)
             y = y.astype(jnp.float32) * (s_in * w_scale)
-        else:
-            wf = (w.astype(jnp.float32) * w_scale).astype(out_dtype)
-            y = lax.conv_general_dilated(
-                x, wf, window_strides=self.stride, padding=self.padding,
-                rhs_dilation=self.dilation,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.groups)
+            if self.bias is not None:
+                y = y + self.bias.value
+            out_scale = getattr(self, "out_scale", None)
+            if out_scale is not None:
+                if getattr(self, "relu_fused", False):
+                    y = jnp.maximum(y, 0.0)
+                return jnp.clip(jnp.round(y / out_scale.value),
+                                -127, 127).astype(jnp.int8)
+            return y.astype(out_dtype)
+        wf = (w.astype(jnp.float32) * w_scale).astype(out_dtype)
+        y = lax.conv_general_dilated(
+            x, wf, window_strides=self.stride, padding=self.padding,
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups)
         if self.bias is not None:
             y = y + self.bias.value.astype(y.dtype)
         return y.astype(out_dtype)
@@ -353,6 +374,14 @@ class BatchNorm(Module):
         self.running_var = BatchStat(I.ones((num_features,)))
 
     def __call__(self, x):
+        if getattr(self, "_folded", False):
+            # folded into the producing conv (ops.quant.fold_batchnorm);
+            # serving-only — running stats already live in the conv
+            if is_training():
+                raise RuntimeError(
+                    "BatchNorm was folded for serving; it cannot be "
+                    "trained (rebuild the model for training)")
+            return x
         reduce_axes = tuple(range(x.ndim - 1))
         if is_training():
             xf = x.astype(jnp.float32)
@@ -466,7 +495,7 @@ def _pool(x, kind, window, stride, padding, nd=2):
         # -inf init makes JAX lower this to reduce_window_max, which has a
         # select-and-scatter VJP (finfo.min would block autodiff)
         neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-               else jnp.iinfo(x.dtype).min)
+               else np.asarray(jnp.iinfo(x.dtype).min, x.dtype))
         return lax.reduce_window(x, neg, lax.max, dims, strides, pads)
     # average pooling that excludes padding (torch count_include_pad=False ≈
     # paddle exclusive=True, what the reference models assume)
