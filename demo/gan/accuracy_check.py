@@ -132,6 +132,18 @@ def main(steps=1200):
     line = " ".join(f"{k}={v:.4f}" for k, v in results.items())
     print(f"identity-rainy PSNR {base_psnr:.2f} dB | derained: {line} "
           f"({time.time()-t0:.0f}s)")
+    # committed artifact for tests/test_accuracy_result_gates.py —
+    # written BEFORE the asserts so a failing run still leaves evidence
+    import json
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "accuracy_results.json"), "w") as f:
+        json.dump({"metric": "prenet_derain",
+                   "psnr": float(results["psnr"]),
+                   "ssim": float(results["ssim"]),
+                   "psnr_bar": PSNR_BAR, "ssim_bar": SSIM_BAR,
+                   "identity_psnr": base_psnr,
+                   "seconds": round(time.time() - t0, 1)}, f, indent=1)
     assert results["psnr"] >= PSNR_BAR, (results, PSNR_BAR)
     assert results["ssim"] >= SSIM_BAR, (results, SSIM_BAR)
     assert results["psnr"] > base_psnr + 3.0, "must beat identity by >=3 dB"

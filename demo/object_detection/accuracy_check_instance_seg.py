@@ -37,9 +37,12 @@ B = 16
 NC = 3
 
 # mask-mAP floors (set ~15% under the measured numbers so regressions
-# trip but seed noise does not)
+# trip but seed noise does not).  SOLOv2 measured 0.5000 (r3) and
+# 0.4991 (r4 re-run after the assigner fixes) — the original 0.50
+# floor was set AT the measurement with zero margin, violating the
+# stated policy; 0.43 restores the ~15% margin.
 FLOORS = {"maskrcnn": {"segm": 0.50, "bbox": 0.60},
-          "solov2": {"segm": 0.50}}
+          "solov2": {"segm": 0.43}}
 
 
 def _r18():

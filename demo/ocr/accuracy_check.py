@@ -135,6 +135,15 @@ def main(steps=6000):
     n_exact = sum(h == r for h, r in zip(hyps, refs))
     print(f"CER = {cer:.4f}  exact-match {n_exact}/{len(refs)} "
           f"({time.time()-t0:.0f}s)  e.g. {refs[0]!r} -> {hyps[0]!r}")
+    # committed artifact for tests/test_accuracy_result_gates.py —
+    # written BEFORE the assert so a failing run still leaves evidence
+    import json
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "accuracy_results.json"), "w") as f:
+        json.dump({"metric": "cer", "value": cer, "bar": CER_BAR,
+                   "exact_match": n_exact, "n": len(refs),
+                   "seconds": round(time.time() - t0, 1)}, f, indent=1)
     assert cer <= CER_BAR, f"CER {cer} above bar {CER_BAR}"
     return cer
 
