@@ -26,6 +26,11 @@ YOLO_TARGET = 2 * 600.0
 RESNET_FLOPS = 8.2e9       # ResNet-50 @ 224^2
 YOLO_FLOPS = 65.9e9        # YOLOv3 @ 416^2 (backbone+FPN+head)
 VIT_FLOPS = 35.1e9         # ViT-B/16 @ 224^2 (2 x 17.56 GMAC)
+# XLA cost_analysis on the exact bench graphs (compiled.cost_analysis()
+# "flops" / batch, CPU lowering of the same jit) — so the MFU figures
+# track the graphs as built, gathers/NMS included:
+MASK_RCNN_FLOPS = 259.7e9  # MaskRCNN-r50 @ 640^2 full instance path
+HRNET_FLOPS = 46.1e9       # HRNet-W18 FCN seg @ 512^2
 V5E_BF16_PEAK = 197e12     # TPU v5e per-chip bf16 peak FLOP/s
 V5E_INT8_PEAK = 394e12
 
@@ -310,10 +315,14 @@ def main():
         "yolov3_int8_vs_baseline": round(yolo_int8 / YOLO_TARGET, 4),
         "mask_rcnn_640_value": round(mrcnn_ips, 2),
         "mask_rcnn_640_unit": "img/s",
+        "mask_rcnn_640_mfu_pct": round(
+            100 * mrcnn_ips * MASK_RCNN_FLOPS / V5E_BF16_PEAK, 1),
         "vit_b16_value": round(vit_ips, 2),
         "vit_b16_mfu_pct": round(
             100 * vit_ips * VIT_FLOPS / V5E_BF16_PEAK, 1),
         "hrnet_w18_seg_512_value": round(hrnet_ips, 2),
+        "hrnet_w18_seg_512_mfu_pct": round(
+            100 * hrnet_ips * HRNET_FLOPS / V5E_BF16_PEAK, 1),
     }))
 
 

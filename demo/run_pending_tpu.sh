@@ -17,7 +17,7 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${TPU_QUEUE_LOG:-/tmp}
 ITEMS=("$@")
-[ ${#ITEMS[@]} -eq 0 ] && ITEMS=(video face iseg sweep swin vit gather)
+[ ${#ITEMS[@]} -eq 0 ] && ITEMS=(video face iseg ocr gan sweep swin vit gather)
 
 run() { # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
@@ -37,6 +37,9 @@ for item in "${ITEMS[@]}"; do case $item in
   swin)   run prof_swin  4000 python demo/image_classification/profile_swin.py ;;
   vit)    run prof_vit   4000 python demo/image_classification/profile_vit.py ;;
   gather) run gather     3600 python demo/object_detection/probe_gather_kernel.py ;;
+  ocr)    run ocr_bar    6000 python demo/ocr/accuracy_check.py ;;
+  gan)    run gan_bar    6000 python demo/gan/accuracy_check.py ;;
+  resnet_int8) run resnet_int8 7200 python demo/image_classification/profile_resnet_int8.py ;;
   bench_train) run bench_train 4000 python demo/image_classification/bench_train.py ;;
   bench)  run bench      3600 python bench.py ;;
   *) echo "unknown item: $item" ;;
