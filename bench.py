@@ -120,15 +120,16 @@ def bench_yolov3():
 
 
 def bench_resnet50_int8():
-    """Post-training full-int8 serving path (ops/quant.py)."""
+    """Post-training full-int8 serving path: quantize + BN fold +
+    producer-side requantization (ops/quant.quantize_for_serving), b256
+    (the measured optimum — profile_resnet_int8.json)."""
     from tlxcv_tpu.core import pure, split
     from tlxcv_tpu.models import resnet50
-    from tlxcv_tpu.ops.quant import calibrate_activations, quantize_weights
+    from tlxcv_tpu.ops.quant import quantize_for_serving
 
     model = resnet50(num_classes=1000)
-    quantize_weights(model)
     calib = np.random.default_rng(1).normal(size=(4, 224, 224, 3))
-    calibrate_activations(model, [calib.astype(np.float32)])
+    quantize_for_serving(model, [calib.astype(np.float32)])
     params, state = split(model)
     fwd = pure(model)
 
@@ -137,7 +138,35 @@ def bench_resnet50_int8():
         out, _ = fwd(params, state, x)
         return out.sum()
 
-    batch = 512
+    batch = 256
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 224, 224, 3)),
+        jnp.bfloat16)
+    return _throughput(infer, (params, state, x), batch)
+
+
+def bench_vit_int8():
+    """ViT-B/16 int8-Linear serving (BASELINE #2 follow-through): the 50
+    qkv/proj/MLP Linears carry 96% of the MACs; attention einsums stay
+    bf16 + XLA (int8 attention measured SLOWER — BENCHMARKS.md r4)."""
+    from tlxcv_tpu.core import pure, split
+    from tlxcv_tpu.models.classification.vision_transformer import (
+        vit_base_patch16_224)
+    from tlxcv_tpu.ops.quant import calibrate_activations, quantize_weights
+
+    model = vit_base_patch16_224()
+    quantize_weights(model)
+    calib = np.random.default_rng(1).normal(size=(4, 224, 224, 3))
+    calibrate_activations(model, [calib.astype(np.float32)])
+    params, state = split(model)
+    fwd = pure(model)
+
+    @jax.jit
+    def infer(params, state, x):
+        out, _ = fwd(params, state, x, training=False)
+        return out.sum()
+
+    batch = 256
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch, 224, 224, 3)),
         jnp.bfloat16)
@@ -290,6 +319,8 @@ def main():
     partial["mask_rcnn_640_value"] = round(mrcnn_ips, 2)
     vit_ips = bench_vit()
     partial["vit_b16_value"] = round(vit_ips, 2)
+    vit_int8 = bench_vit_int8()
+    partial["vit_b16_int8_value"] = round(vit_int8, 2)
     hrnet_ips = bench_hrnet_seg()
     done.set()
     print(json.dumps({
@@ -320,6 +351,9 @@ def main():
         "vit_b16_value": round(vit_ips, 2),
         "vit_b16_mfu_pct": round(
             100 * vit_ips * VIT_FLOPS / V5E_BF16_PEAK, 1),
+        "vit_b16_int8_value": round(vit_int8, 2),
+        "vit_b16_int8_mfu_pct": round(
+            100 * vit_int8 * VIT_FLOPS / V5E_BF16_PEAK, 1),
         "hrnet_w18_seg_512_value": round(hrnet_ips, 2),
         "hrnet_w18_seg_512_mfu_pct": round(
             100 * hrnet_ips * HRNET_FLOPS / V5E_BF16_PEAK, 1),
