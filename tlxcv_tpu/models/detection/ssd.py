@@ -72,10 +72,25 @@ class SSDHead(nn.Module):
         return jnp.concatenate(boxes, 1), jnp.concatenate(scores, 1)
 
 
-def build_ssd_priors(feature_hws, image_hw=(300, 300)):
-    """Reference SSD-MobileNet prior config (ssd.py:64-82)."""
-    min_sizes = (60.0, 105.0, 150.0, 195.0, 240.0, 285.0)
-    max_sizes = (None, 150.0, 195.0, 240.0, 285.0, 300.0)
+def build_ssd_priors(feature_hws, image_hw=(300, 300), min_sizes=None,
+                     max_sizes=None):
+    """Reference SSD-MobileNet prior config (ssd.py:64-82).
+
+    The reference's 60..300 px sizes are the SSD-paper scale ladder
+    (s = 0.2..1.0 of the input) written in absolute pixels FOR ITS
+    300x300 input.  When ``image_hw != 300`` and no explicit sizes are
+    given, the ladder is rescaled by ``min(image_hw)/300`` — keeping
+    the paper's relative-scale semantics instead of pinning half-image
+    priors onto small inputs (at 300 this is exactly the reference
+    table, so 300-input parity is unchanged)."""
+    if min_sizes is None:
+        s = min(image_hw) / 300.0
+        min_sizes = tuple(v * s for v in
+                          (60.0, 105.0, 150.0, 195.0, 240.0, 285.0))
+        max_sizes = tuple(v * s if v else None for v in
+                          (0.0, 150.0, 195.0, 240.0, 285.0, 300.0))
+    elif max_sizes is None:
+        max_sizes = (None,) * len(min_sizes)
     aspect_ratios = ((2.0,), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0),
                      (2.0, 3.0))
     out = []
