@@ -1,0 +1,178 @@
+"""Hermetic UNPAIRED GAN quality bar — CycleGAN on a two-domain fixture.
+
+VERDICT r3 next #10: the PReNet bar proves the supervised (SR-style)
+trainer; nothing proved the adversarial/unpaired loop.  This drives the
+actual CycleGAN recipe surface (CycleGANModel g_loss/d_loss with cycle
++ identity terms, GANTrainer's alternating jitted D/G step, and
+GanValidator's FID metric — the reference validate spec,
+cyclegan_horse2zebra.yaml:117-128) on a procedural two-domain fixture
+with an ANALYTIC oracle:
+
+  domain A: smooth colored scenes with random disks (geometry seeds
+            disjoint from B — genuinely unpaired)
+  domain B: the SAME scene distribution pushed through a fixed style
+            map  T(x) = channel-reverse + invert  (pixelwise bijection)
+
+Because T is deterministic and pixelwise, held-out A images have an
+exact target translation T(a): the learned G_A must (1) beat a
+translation-PSNR bar against T(a) — with the identity baseline
+PSNR(a, T(a)) reported, which is catastrophically low because T
+inverts intensities; (2) cycle back: PSNR(G_B(G_A(a)), a) bar; and
+(3) cut GanValidator FID between translated-A and real-B to a fraction
+of the identity (untranslated) FID.
+
+Run: python demo/gan/accuracy_check_cyclegan.py [steps]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tlxcv_tpu.core import pure, split
+from tlxcv_tpu.models.gan.cyclegan import CycleGANModel
+from tlxcv_tpu.train.gan_trainer import GANTrainer
+from tlxcv_tpu.train.gan_validate import GanValidator
+from tlxcv_tpu.utils import image_metrics as im
+
+SIZE = 64
+B = 8
+TRANS_PSNR_BAR = 19.0   # G_A(a) vs the exact oracle T(a), dB
+CYCLE_PSNR_BAR = 19.0   # G_B(G_A(a)) vs a, dB
+FID_RATIO_BAR = 0.35    # FID(G_A(A), B) / FID(A, B)
+
+
+def make_scene(rng):
+    """Smooth clean image in [0, 1]: gradient + colored disks."""
+    g = np.linspace(0, 1, SIZE, dtype=np.float32)
+    img = (0.25 + 0.4 * g[None, :, None] * rng.uniform(0.3, 1.0, 3)
+           + 0.3 * g[:, None, None] * rng.uniform(0.3, 1.0, 3))
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE].astype(np.float32)
+    for _ in range(int(rng.integers(2, 5))):
+        cx, cy = rng.uniform(8, SIZE - 8, 2)
+        r = rng.uniform(5, 12)
+        m = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+        img[m] = rng.uniform(0.15, 0.9, 3)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def style_T(x01):
+    """The fixed A->B style map: channel reverse + intensity invert."""
+    return 1.0 - x01[..., ::-1]
+
+
+def to_pm1(x01):
+    return (x01 * 2.0 - 1.0).astype(np.float32)
+
+
+def to_01(xpm1):
+    return np.clip((np.asarray(xpm1, np.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+
+def batch_a(rng, n):
+    return to_pm1(np.stack([make_scene(rng) for _ in range(n)]))
+
+
+def batch_b(rng, n):
+    return to_pm1(style_T(np.stack([make_scene(rng) for _ in range(n)])))
+
+
+def main(steps=900):
+    t0 = time.time()
+    model = CycleGANModel(ngf=32, ndf=32, n_blocks=4,
+                          lambda_a=10.0, lambda_b=10.0, lambda_identity=0.0)
+    # identity loss OFF: T inverts colors, so the reference's identity
+    # term (G_A(b) ~= b) actively fights the correct mapping — the
+    # horse2zebra recipe keeps it because zebra color stats match, the
+    # fixture's domains are complementary by construction.
+    trainer = GANTrainer(model)
+
+    rng_a = np.random.default_rng(1)      # domain-A geometry stream
+    rng_b = np.random.default_rng(2)      # domain-B stream — disjoint
+
+    def epoch_batches(n_steps):
+        for _ in range(n_steps):
+            yield batch_a(rng_a, B), batch_b(rng_b, B)
+
+    log_every = max(100, steps // 8)
+    done = 0
+    while done < steps:
+        n = min(log_every, steps - done)
+        trainer.train(1, epoch_batches(n))   # prints one D/G loss line
+        done += n
+        print(f"  it {done} ({time.time()-t0:.0f}s)", flush=True)
+
+    # ---- held-out eval -------------------------------------------------
+    # trainer._sync_to_network() wrote the trained weights back
+    params, state = split(model)
+    g_ab = jax.jit(lambda p, s, a: pure(model, lambda m, x: m.netG_A(x))(
+        p, s, a, training=False)[0])
+    g_ba = jax.jit(lambda p, s, b: pure(model, lambda m, x: m.netG_B(x))(
+        p, s, b, training=False)[0])
+
+    rng_test = np.random.default_rng(999)
+    test_a01 = np.stack([make_scene(rng_test) for _ in range(64)])
+    rng_test_b = np.random.default_rng(1234)
+    test_b01 = style_T(np.stack([make_scene(rng_test_b)
+                                 for _ in range(64)]))
+
+    fake_b = np.asarray(g_ab(params, state, to_pm1(test_a01)))
+    rec_a = np.asarray(g_ba(params, state, fake_b))
+    fake_b01, rec_a01 = to_01(fake_b), to_01(rec_a)
+    oracle_b01 = style_T(test_a01)
+
+    trans_psnr = float(np.mean(np.asarray(
+        im.psnr(fake_b01, oracle_b01))))
+    identity_psnr = float(np.mean(np.asarray(
+        im.psnr(test_a01, oracle_b01))))
+    cycle_psnr = float(np.mean(np.asarray(im.psnr(rec_a01, test_a01))))
+
+    # ---- GanValidator FID: translated-A vs real-B, and the identity
+    # (untranslated) baseline — the reference validate spec's metric
+    validator = GanValidator(metrics={"fid": {"name": "FID",
+                                              "batch_size": 32}})
+    val_batches = [(fake_b01[i:i + 32], test_b01[i:i + 32])
+                   for i in range(0, 64, 32)]
+    fid_trans = validator.run(lambda p: p, val_batches)["fid"]
+    id_batches = [(test_a01[i:i + 32], test_b01[i:i + 32])
+                  for i in range(0, 64, 32)]
+    fid_identity = validator.run(lambda p: p, id_batches)["fid"]
+    ratio = fid_trans / max(fid_identity, 1e-9)
+
+    print(f"translation PSNR {trans_psnr:.2f} dB (identity baseline "
+          f"{identity_psnr:.2f}) | cycle PSNR {cycle_psnr:.2f} | "
+          f"FID trans {fid_trans:.1f} vs identity {fid_identity:.1f} "
+          f"(ratio {ratio:.3f}) ({time.time()-t0:.0f}s)")
+
+    # committed artifact for tests/test_accuracy_result_gates.py —
+    # written BEFORE the asserts so a failing run still leaves evidence
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "accuracy_results_cyclegan.json"), "w") as f:
+        json.dump({"metric": "cyclegan_two_domain",
+                   "trans_psnr": trans_psnr,
+                   "trans_psnr_bar": TRANS_PSNR_BAR,
+                   "identity_psnr": identity_psnr,
+                   "cycle_psnr": cycle_psnr,
+                   "cycle_psnr_bar": CYCLE_PSNR_BAR,
+                   "fid_trans": fid_trans,
+                   "fid_identity": fid_identity,
+                   "fid_ratio": ratio,
+                   "fid_ratio_bar": FID_RATIO_BAR,
+                   "steps": steps,
+                   "seconds": round(time.time() - t0, 1)}, f, indent=1)
+
+    assert trans_psnr >= TRANS_PSNR_BAR, (trans_psnr, TRANS_PSNR_BAR)
+    assert trans_psnr > identity_psnr + 6.0, (trans_psnr, identity_psnr)
+    assert cycle_psnr >= CYCLE_PSNR_BAR, (cycle_psnr, CYCLE_PSNR_BAR)
+    assert ratio <= FID_RATIO_BAR, (fid_trans, fid_identity, ratio)
+    return trans_psnr
+
+
+if __name__ == "__main__":
+    main(*(int(a) for a in sys.argv[1:]))

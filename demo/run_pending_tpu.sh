@@ -39,6 +39,7 @@ for item in "${ITEMS[@]}"; do case $item in
   gather) run gather     3600 python demo/object_detection/probe_gather_kernel.py ;;
   ocr)    run ocr_bar    6000 python demo/ocr/accuracy_check.py ;;
   gan)    run gan_bar    6000 python demo/gan/accuracy_check.py ;;
+  cyclegan) run cyclegan_bar 6000 python demo/gan/accuracy_check_cyclegan.py ;;
   resnet_int8) run resnet_int8 7200 python demo/image_classification/profile_resnet_int8.py ;;
   bench_train) run bench_train 4000 python demo/image_classification/bench_train.py ;;
   bench)  run bench      3600 python bench.py ;;

@@ -73,3 +73,13 @@ def test_instance_seg_bars():
         assert model in rows, rows.keys()
         for key, floor in bars.items():
             assert rows[model][key] >= floor, (model, key, rows[model])
+
+
+def test_gan_cyclegan_bar():
+    r = _load("gan", "accuracy_results_cyclegan.json")
+    assert r["metric"] == "cyclegan_two_domain"
+    assert r["trans_psnr"] >= r["trans_psnr_bar"], r
+    # the learned translation must beat no-translation by >= 6 dB
+    assert r["trans_psnr"] > r["identity_psnr"] + 6.0, r
+    assert r["cycle_psnr"] >= r["cycle_psnr_bar"], r
+    assert r["fid_ratio"] <= r["fid_ratio_bar"], r
