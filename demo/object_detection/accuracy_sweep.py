@@ -193,13 +193,20 @@ REGISTRY = {
     "tood": (_tood, 2000, 1e-3, 0.70),
     "yolox_s": (_yolox, 2000, 1e-3, 0.70),
     "picodet": (_picodet, 3000, 2e-3, 0.60),
-    "ppyoloe_s": (_ppyoloe_s, 2000, 1e-3, 0.62),  # measured .712 — keep the ~10-15% headroom convention
+    # reference schedule: static-ATSS warmup then TaskAligned (the r3
+    # ATSS-only runs measured .712 pre-conflict-fix / .512 post-fix;
+    # two-phase restores the reference's intended training dynamics)
+    "ppyoloe_s": (_ppyoloe_s, 2500, 1e-3, 0.62, {"tal_after": 700}),
     "centernet": (_centernet, 3000, 1e-3, 0.55),
     "ttfnet": (_ttfnet, 3000, 1e-3, 0.55),
     "ssd": (_ssd, 3000, 1e-3, 0.50),
-    "yolov3": (_yolov3, 3000, 1e-3, 0.60),
+    # darknet53 from scratch converges slowest in the zoo: loss was
+    # still dropping 40%/500-steps at the 3000 cutoff (r4: mAP .515)
+    "yolov3": (_yolov3, 8000, 1e-3, 0.60),
     "faster_rcnn": (_faster_rcnn, 2000, 1e-3, 0.55),
-    "cascade_rcnn": (_cascade_rcnn, 2000, 1e-3, 0.55),
+    # 3 cascade stages at b32 need 20 GB HBM (>15.75 available, r4 OOM):
+    # halve the train batch, double the steps — same sample budget
+    "cascade_rcnn": (_cascade_rcnn, 4000, 1e-3, 0.55, {"batch": 16}),
     "detr": (_detr, 4000, 2e-4, 0.30),
 }
 
@@ -239,7 +246,10 @@ def batcher(ds, idxs):
 
 
 def run_model(name, steps=None, log_every=500):
-    build, default_steps, lr, floor = REGISTRY[name]
+    entry = REGISTRY[name]
+    build, default_steps, lr, floor = entry[:4]
+    opts = entry[4] if len(entry) > 4 else {}
+    train_b = opts.get("batch", B)
     adapt = TARGET_ADAPTERS.get(name, lambda t: t)
     steps = steps or default_steps
     # weight init draws from core.init's GLOBAL host RNG (CLAUDE.md):
@@ -250,7 +260,19 @@ def run_model(name, steps=None, log_every=500):
     set_seed(0)
     model = build()
     params, state = split(model)
-    lp = pure(model, lambda m, v, t: m.loss_fn(m(v), t))
+    # PPYOLOE-style two-phase assignment: the reference trains a STATIC
+    # (ATSS) warmup for `static_assigner_epoch` epochs, then switches to
+    # the TaskAligned assigner (`epoch_id` is a static Python branch in
+    # get_loss — one recompile at the switch).  Training ATSS-only for
+    # the whole run is NOT the reference schedule (r4: it plateaued the
+    # fixture at mAP .51 with half the instances unlearned).
+    tal_after = opts.get("tal_after")
+    if tal_after is not None:
+        lps = [pure(model, lambda m, v, t: m.loss_fn(m(v, epoch_id=0), t)),
+               pure(model, lambda m, v, t: m.loss_fn(
+                   m(v, epoch_id=10 ** 6), t))]
+    else:
+        lps = [pure(model, lambda m, v, t: m.loss_fn(m(v), t))]
     fwd = pure(model, PREDICT_ADAPTERS[name]) if name in PREDICT_ADAPTERS \
         else pure(model)
     sched = optax.cosine_decay_schedule(lr, steps)
@@ -260,21 +282,27 @@ def run_model(name, steps=None, log_every=500):
     train = ShapesDetection(num=4096, size=SIZE, seed=0)
     val = ShapesDetection(num=128, size=SIZE, seed=999)
 
-    @jax.jit
-    def step(params, state, opt_state, x, t):
-        t = adapt(t)
-        def lf(p):
-            loss, ns = lp(p, state, x, t, training=True)
-            return loss, ns
+    def make_step(lp):
+        @jax.jit
+        def step(params, state, opt_state, x, t):
+            t = adapt(t)
+            def lf(p):
+                loss, ns = lp(p, state, x, t, training=True)
+                return loss, ns
 
-        (loss, state), g = jax.value_and_grad(lf, has_aux=True)(params)
-        u, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(params, u), state, opt_state, loss
+            (loss, state), g = jax.value_and_grad(lf, has_aux=True)(params)
+            u, opt_state = tx.update(g, opt_state)
+            return optax.apply_updates(params, u), state, opt_state, loss
+        return step
+
+    steps_fns = [make_step(lp) for lp in lps]
 
     rng = np.random.default_rng(0)
     t0 = time.time()
     for it in range(steps):
-        x, t = batcher(train, rng.integers(0, len(train), size=B))
+        step = steps_fns[-1] if (tal_after is not None and it >= tal_after) \
+            else steps_fns[0]
+        x, t = batcher(train, rng.integers(0, len(train), size=train_b))
         params, state, opt_state, loss = step(params, state, opt_state, x, t)
         if it % log_every == 0:
             print(f"  [{name}] it {it} loss {float(loss):.4f} "

@@ -27,7 +27,7 @@ def test_registry_covers_claimed_one_stage_zoo():
                  "ppyoloe_s", "centernet", "ttfnet", "ssd", "yolov3",
                  "faster_rcnn", "cascade_rcnn", "detr"):
         assert name in REGISTRY
-        build, steps, lr, floor = REGISTRY[name]
+        build, steps, lr, floor = REGISTRY[name][:4]
         assert 0.3 <= floor <= 0.95
         assert steps >= 1000
 

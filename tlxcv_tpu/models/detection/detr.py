@@ -22,7 +22,7 @@ from ...core import init as I
 from ...core.module import BatchStat, Module, Param, is_training
 from ...nn.attention import scaled_dot_product_attention
 from ...ops.boxes import aligned_iou, xywh2xyxy
-from ...ops.hungarian import hungarian_callback
+from ...ops.hungarian import auction_assign, hungarian_callback
 
 __all__ = ["Detr", "DetrLoss", "detr_resnet50"]
 
@@ -158,7 +158,7 @@ class MLP(Module):
 class Detr(Module):
     def __init__(self, num_classes=91, num_queries=100, dim=256, heads=8,
                  enc_layers=6, dec_layers=6, ffn=2048, dropout=0.1,
-                 aux_loss=True):
+                 aux_loss=True, matcher="auto"):
         self.backbone = _make_resnet50_frozen()
         self.input_proj = nn.Conv2d(2048, dim, 1)
         self.query_embed = Param(I.normal((num_queries, dim), std=1.0))
@@ -173,7 +173,7 @@ class Detr(Module):
         self.num_queries = num_queries
         self.dim = dim
         self.aux_loss = aux_loss
-        self.loss = DetrLoss(num_classes)
+        self.loss = DetrLoss(num_classes, matcher=matcher)
 
     def __call__(self, images):
         feats = self.backbone.features(images)[-1]  # C5 [B, H/32, W/32, 2048]
@@ -224,11 +224,34 @@ class DetrLoss(Module):
 
     def __init__(self, num_classes, eos_coef=0.1, cost_class=1.0,
                  cost_bbox=5.0, cost_giou=2.0, w_class=1.0, w_bbox=5.0,
-                 w_giou=2.0):
+                 w_giou=2.0, matcher="auto"):
         self.num_classes = num_classes
         self.eos_coef = eos_coef
         self.costs = (cost_class, cost_bbox, cost_giou)
         self.weights = (w_class, w_bbox, w_giou)
+        self.matcher = matcher
+
+    def _match(self, cost):
+        """[B, M, Q] cost -> [B, M] column assignment.
+
+        ``matcher="callback"`` is the exact scipy Hungarian via
+        ``jax.pure_callback``; ``"auction"`` is the on-device
+        epsilon-optimal auction (ops/hungarian.py).  ``"auto"`` picks
+        the callback wherever the runtime supports host callbacks and
+        falls back to the auction on the axon TPU relay, whose PJRT
+        client implements no host send/recv (UNIMPLEMENTED at run
+        time — r4 sweep finding)."""
+        mode = self.matcher
+        if mode == "auto":
+            backend = jax.default_backend()
+            mode = "auction" if backend == "axon" else "callback"
+        if mode == "callback":
+            return hungarian_callback(cost)
+        assign = jax.vmap(lambda c: auction_assign(c, num_iters=200))(cost)
+        # a row the auction left unassigned (iteration budget) must not
+        # index at -1 (negative indices WRAP in scatter, even with
+        # mode="drop") — pin it to column 0; loss masks padded rows
+        return jnp.maximum(assign, 0)
 
     def __call__(self, logits, pred_boxes, targets):
         """targets: boxes [B, M, 4] normalized cxcywh, class_labels [B, M],
@@ -254,7 +277,7 @@ class DetrLoss(Module):
         cost = cc * cost_class + cb * cost_bbox + cg * cost_giou
         cost = jnp.where(mask[:, None, :] > 0, cost, 1e6)
         cost = jnp.transpose(cost, (0, 2, 1))                   # [B, M, Q]
-        assign = hungarian_callback(jax.lax.stop_gradient(cost))  # [B, M]
+        assign = self._match(jax.lax.stop_gradient(cost))  # [B, M]
 
         # classification: assigned queries get gt class, rest no-object
         bidx = jnp.arange(b)[:, None]
