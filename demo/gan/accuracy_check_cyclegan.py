@@ -83,7 +83,7 @@ def batch_b(rng, n):
     return to_pm1(style_T(np.stack([make_scene(rng) for _ in range(n)])))
 
 
-def main(steps=900):
+def main(steps=4000):
     t0 = time.time()
     model = CycleGANModel(ngf=32, ndf=32, n_blocks=4,
                           lambda_a=10.0, lambda_b=10.0, lambda_identity=0.0)
@@ -100,13 +100,26 @@ def main(steps=900):
         for _ in range(n_steps):
             yield batch_a(rng_a, B), batch_b(rng_b, B)
 
-    log_every = max(100, steps // 8)
+    # small held-out probe for the periodic trend print (full eval set
+    # below is larger)
+    rng_probe = np.random.default_rng(777)
+    probe_a01 = np.stack([make_scene(rng_probe) for _ in range(8)])
+    probe_oracle = style_T(probe_a01)
+    g_probe = jax.jit(lambda p, s, a: pure(
+        model, lambda m, x: m.netG_A(x))(p, s, a, training=False)[0])
+    probe_in = to_pm1(probe_a01)
+
+    log_every = max(100, steps // 10)
     done = 0
     while done < steps:
         n = min(log_every, steps - done)
         trainer.train(1, epoch_batches(n))   # prints one D/G loss line
         done += n
-        print(f"  it {done} ({time.time()-t0:.0f}s)", flush=True)
+        params_i, state_i = split(model)
+        fb = np.asarray(g_probe(params_i, state_i, probe_in))
+        p = float(np.mean(np.asarray(im.psnr(to_01(fb), probe_oracle))))
+        print(f"  it {done} probe-PSNR {p:.2f} dB ({time.time()-t0:.0f}s)",
+              flush=True)
 
     # ---- held-out eval -------------------------------------------------
     # trainer._sync_to_network() wrote the trained weights back

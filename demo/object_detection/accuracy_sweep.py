@@ -199,7 +199,10 @@ REGISTRY = {
     "ppyoloe_s": (_ppyoloe_s, 2500, 1e-3, 0.62, {"tal_after": 700}),
     "centernet": (_centernet, 3000, 1e-3, 0.55),
     "ttfnet": (_ttfnet, 3000, 1e-3, 0.55),
-    "ssd": (_ssd, 3000, 1e-3, 0.50),
+    # SSD's stride-16 top grid leaves small fixture objects ~1 force-
+    # matched prior each, so it converges slowest after darknet (loss
+    # still -35%/500 steps at the 3000 cutoff, r4)
+    "ssd": (_ssd, 9000, 1e-3, 0.50),
     # darknet53 from scratch converges slowest in the zoo: loss was
     # still dropping 40%/500-steps at the 3000 cutoff (r4: mAP .515)
     "yolov3": (_yolov3, 8000, 1e-3, 0.60),
