@@ -112,10 +112,10 @@ def _ttfnet():
     return TTFNet(num_classes=NC, backbone=_R18C345(), score_threshold=0.05)
 
 
-def _ssd():
+def _ssd(size=SIZE):
     from tlxcv_tpu.models.detection import SSD
 
-    return SSD(num_classes=NC, image_size=(SIZE, SIZE),
+    return SSD(num_classes=NC, image_size=(size, size),
                score_threshold=0.05, nms_threshold=0.5)
 
 
@@ -169,14 +169,14 @@ def _detr_predict(model, x):
     return dets, jnp.sum(scores > 0.05, axis=1)
 
 
-def _tgt_norm_xyxy(t):
+def _tgt_norm_xyxy(t, size=SIZE):
     """SSD contract: boxes normalized xyxy (ssd.py loss_fn)."""
-    return {**t, "boxes": t["boxes"] / SIZE}
+    return {**t, "boxes": t["boxes"] / size}
 
 
-def _tgt_norm_cxcywh(t):
+def _tgt_norm_cxcywh(t, size=SIZE):
     """YOLOv3 contract: boxes normalized cxcywh, padded rows w=h=0."""
-    b = t["boxes"] / SIZE
+    b = t["boxes"] / size
     cxcy = (b[..., :2] + b[..., 2:]) / 2
     wh = (b[..., 2:] - b[..., :2]) * t["mask"][..., None]
     return {**t, "boxes": jnp.concatenate([cxcy, wh], -1),
@@ -199,10 +199,13 @@ REGISTRY = {
     "ppyoloe_s": (_ppyoloe_s, 2500, 1e-3, 0.62, {"tal_after": 700}),
     "centernet": (_centernet, 3000, 1e-3, 0.55),
     "ttfnet": (_ttfnet, 3000, 1e-3, 0.55),
-    # SSD's stride-16 top grid leaves small fixture objects ~1 force-
-    # matched prior each, so it converges slowest after darknet (loss
-    # still -35%/500 steps at the 3000 cutoff, r4)
-    "ssd": (_ssd, 9000, 1e-3, 0.50),
+    # SSD runs at 256^2: at 128^2 its stride-16-and-up pyramid leaves
+    # fixture objects ~2 matched priors per IMAGE (best-prior IoU p10
+    # 0.42 — the 16 px grid offset alone), vs 10.6 matches and p10 0.58
+    # at 256^2, which reproduces the reference config's geometry
+    # (objects >= 0.2 x input at stride 16).  Measured r4: 0.23 mAP at
+    # 128^2 regardless of ladder; see run_model size option.
+    "ssd": (_ssd, 5000, 1e-3, 0.50, {"size": 256, "batch": 16}),
     # darknet53 from scratch converges slowest in the zoo: loss was
     # still dropping 40%/500-steps at the 3000 cutoff (r4: mAP .515)
     "yolov3": (_yolov3, 8000, 1e-3, 0.60),
@@ -253,7 +256,13 @@ def run_model(name, steps=None, log_every=500):
     build, default_steps, lr, floor = entry[:4]
     opts = entry[4] if len(entry) > 4 else {}
     train_b = opts.get("batch", B)
-    adapt = TARGET_ADAPTERS.get(name, lambda t: t)
+    # per-model input size: SSD's stride-16-and-up pyramid needs the
+    # fixture objects in its geometric sweet spot (reference config:
+    # objects >= 0.2 of a 300^2 input at stride 16; at 128^2 the grid
+    # offset alone caps best-prior IoU near the 0.5 match threshold)
+    sz = opts.get("size", SIZE)
+    raw_adapt = TARGET_ADAPTERS.get(name)
+    adapt = (lambda t: raw_adapt(t, sz)) if raw_adapt else (lambda t: t)
     steps = steps or default_steps
     # weight init draws from core.init's GLOBAL host RNG (CLAUDE.md):
     # without a per-model reset, each model's init depends on which
@@ -261,7 +270,10 @@ def run_model(name, steps=None, log_every=500):
     from tlxcv_tpu.core.init import set_seed
 
     set_seed(0)
-    model = build()
+    import inspect
+
+    model = build(size=sz) if "size" in inspect.signature(build).parameters \
+        else build()
     params, state = split(model)
     # PPYOLOE-style two-phase assignment: the reference trains a STATIC
     # (ATSS) warmup for `static_assigner_epoch` epochs, then switches to
@@ -282,8 +294,8 @@ def run_model(name, steps=None, log_every=500):
     tx = optax.adam(sched)
     opt_state = tx.init(params)
 
-    train = ShapesDetection(num=4096, size=SIZE, seed=0)
-    val = ShapesDetection(num=128, size=SIZE, seed=999)
+    train = ShapesDetection(num=4096, size=sz, seed=0)
+    val = ShapesDetection(num=128, size=sz, seed=999)
 
     def make_step(lp):
         @jax.jit
