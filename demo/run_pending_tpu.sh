@@ -17,7 +17,10 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${TPU_QUEUE_LOG:-/tmp}
 ITEMS=("$@")
-[ ${#ITEMS[@]} -eq 0 ] && ITEMS=(video face iseg ocr gan sweep swin vit gather)
+# r4 outstanding set: detector re-runs (cascade b16 / detr auction /
+# yolov3 8k / ppyoloe 2-phase / ssd 256), the cyclegan bar, and the
+# int8 stage split; the full menu below remains addressable by name
+[ ${#ITEMS[@]} -eq 0 ] && ITEMS=(sweep cyclegan int8_stages bench)
 
 run() { # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
@@ -41,6 +44,7 @@ for item in "${ITEMS[@]}"; do case $item in
   gan)    run gan_bar    6000 python demo/gan/accuracy_check.py ;;
   cyclegan) run cyclegan_bar 6000 python demo/gan/accuracy_check_cyclegan.py ;;
   resnet_int8) run resnet_int8 7200 python demo/image_classification/profile_resnet_int8.py ;;
+  int8_stages) run int8_stages 3600 python demo/image_classification/profile_resnet_int8_stages.py ;;
   bench_train) run bench_train 4000 python demo/image_classification/bench_train.py ;;
   bench)  run bench      3600 python bench.py ;;
   *) echo "unknown item: $item" ;;
