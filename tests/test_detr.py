@@ -133,3 +133,12 @@ def test_auction_matcher_trains_under_jit(tiny_detr, rng):
     assert np.isfinite(float(loss))
     gn = sum(float(jnp.sum(jnp.abs(v))) for v in g.values())
     assert gn > 0
+
+
+def test_auto_matcher_detects_axon():
+    from tlxcv_tpu.models.detection.detr import _auto_matcher_mode
+
+    assert _auto_matcher_mode("axon,cpu") == "auction"
+    assert _auto_matcher_mode("cpu") == "callback"
+    assert _auto_matcher_mode("") == "callback"
+    assert _auto_matcher_mode("tpu") == "callback"

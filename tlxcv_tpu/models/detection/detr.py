@@ -219,6 +219,17 @@ class Detr(Module):
         return labels, scores, boxes
 
 
+def _auto_matcher_mode(platforms=None):
+    """"callback" wherever host callbacks work, "auction" on the axon
+    relay.  The relay registers its PJRT plugin under the "tpu"
+    platform name (default_backend() == "tpu", device_kind "TPU v5
+    lite") yet implements no host send/recv, so the only reliable
+    marker is the platform LIST jax was configured with ("axon,cpu")."""
+    if platforms is None:
+        platforms = str(getattr(jax.config, "jax_platforms", "") or "")
+    return "auction" if "axon" in platforms else "callback"
+
+
 class DetrLoss(Module):
     """Hungarian-matched CE + L1 + GIoU (reference DetrLoss :1232)."""
 
@@ -243,8 +254,7 @@ class DetrLoss(Module):
         time — r4 sweep finding)."""
         mode = self.matcher
         if mode == "auto":
-            backend = jax.default_backend()
-            mode = "auction" if backend == "axon" else "callback"
+            mode = _auto_matcher_mode()
         if mode == "callback":
             return hungarian_callback(cost)
         assign = jax.vmap(lambda c: auction_assign(c, num_iters=200))(cost)
