@@ -151,9 +151,12 @@ def _detr():
     from tlxcv_tpu.models.detection import Detr
 
     # 4 decoder/encoder layers and 25 queries are plenty for <=4 objects
-    # at 128^2 (16 encoder tokens); full DETR depth just slows the bar
+    # at 128^2 (16 encoder tokens); full DETR depth just slows the bar.
+    # freeze_bn=False + resnet18: frozen identity-BN is the PRETRAINED
+    # regime — from scratch it leaves the backbone unnormalized (r4:
+    # mAP .048 with falling loss, features never formed).
     return Detr(num_classes=NC, num_queries=25, enc_layers=4, dec_layers=4,
-                dropout=0.0)
+                dropout=0.0, backbone_depth=18, freeze_bn=False)
 
 
 def _detr_predict(model, x):

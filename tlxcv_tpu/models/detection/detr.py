@@ -42,10 +42,12 @@ class FrozenBatchNorm(Module):
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
-def _make_resnet50_frozen():
+def _make_resnet_backbone(depth=50, freeze_bn=True):
     from ..classification.resnet import ResNet
 
-    model = ResNet(depth=50, num_classes=0, with_pool=False)
+    model = ResNet(depth=depth, num_classes=0, with_pool=False)
+    if not freeze_bn:
+        return model
     # swap every BatchNorm for a frozen one, preserving topology/paths
     def freeze(obj):
         for name, child in list(vars(obj).items()):
@@ -158,9 +160,16 @@ class MLP(Module):
 class Detr(Module):
     def __init__(self, num_classes=91, num_queries=100, dim=256, heads=8,
                  enc_layers=6, dec_layers=6, ffn=2048, dropout=0.1,
-                 aux_loss=True, matcher="auto"):
-        self.backbone = _make_resnet50_frozen()
-        self.input_proj = nn.Conv2d(2048, dim, 1)
+                 aux_loss=True, matcher="auto", backbone_depth=50,
+                 freeze_bn=True):
+        # freeze_bn=True is the reference semantics (:284) and assumes
+        # PRETRAINED backbone weights — frozen identity-stat BN gives a
+        # from-scratch ResNet no normalization at all (activations drift
+        # over 50 layers; the r4 fixture sweep plateaued at mAP .048 with
+        # falling loss).  From-scratch training must pass freeze_bn=False.
+        self.backbone = _make_resnet_backbone(backbone_depth, freeze_bn)
+        c5 = 512 if backbone_depth in (18, 34) else 2048
+        self.input_proj = nn.Conv2d(c5, dim, 1)
         self.query_embed = Param(I.normal((num_queries, dim), std=1.0))
         self.encoder = [EncoderLayer(dim, heads, ffn, dropout)
                         for _ in range(enc_layers)]

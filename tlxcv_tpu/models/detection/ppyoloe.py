@@ -313,9 +313,16 @@ def task_aligned_assign(pred_scores, pred_bboxes, anchor_points,
     inside = check_points_inside(anchor_points, gt_bboxes)
     metric = alignment * inside
     k = min(topk, a)
-    kth = -jnp.sort(-metric, axis=-1)[..., k - 1:k]
-    is_topk = ((metric >= jnp.maximum(kth, eps)) & (metric > eps)
-               ).astype(jnp.float32)
+    # Reference gather_topk_anchors(:1700) is called with
+    # topk_mask=pad_gt_mask: every REAL gt keeps its top-k candidates
+    # REGARDLESS of metric magnitude.  A `metric > eps` cutoff is NOT
+    # reference behavior and is catastrophic: cls^1 * iou^6 underflows
+    # 1e-9 at cold start (score 1e-3, iou 0.1), every positive vanishes,
+    # and the cls loss then trains all scores to zero (observed: the
+    # two-phase sweep collapsed to loss 5e-4 / mAP 0.0 after the switch).
+    _, topk_idxs = jax.lax.top_k(metric, k)                  # [B, M, k]
+    is_topk = jax.nn.one_hot(topk_idxs, a, dtype=jnp.float32).sum(-2)
+    is_topk = jnp.where(is_topk > 1, 0.0, is_topk)
     mask_positive = is_topk * inside * pad_gt_mask
     mask_positive = _resolve_conflicts(mask_positive, ious)
     labels, bboxes, has_pos, assigned_gt = _gather_assignments(
@@ -436,14 +443,24 @@ class PPYOLOEHead(nn.Module):
         pm = jnp.broadcast_to(pad_mask[..., None],
                               (bsz, m, pred_scores.shape[1]))
 
+        # Assigner inputs MUST be detached (reference wraps them in
+        # tlx.convert_to_tensor at :904, a graph break; upstream paddle
+        # assigners run under @no_grad).  Without stop_gradient the VFL
+        # loss minimizes itself through its own targets: for p < 0.5,
+        # dCE/dtarget = log((1-p)/p) > 0, so the optimizer shrinks
+        # alignment (= score * iou^6) to zero — observed as the r4
+        # post-switch collapse (loss 0.98 -> 0.003 in 300 steps, mAP 0;
+        # TOOD/PicoDet/YOLOX/GFL already detach and never collapsed).
+        det_scores = jax.lax.stop_gradient(pred_scores)
+        det_bboxes = jax.lax.stop_gradient(pred_bboxes)
         if epoch_id < self.static_assigner_epoch:
             labels, bboxes, scores = atss_assign(
                 anchors, counts, gt_labels, gt_bboxes, pm,
                 bg_index=self.num_classes, num_classes=self.num_classes,
-                pred_bboxes=pred_bboxes * strides)
+                pred_bboxes=det_bboxes * strides)
         else:
             labels, bboxes, scores = task_aligned_assign(
-                pred_scores, pred_bboxes * strides, jnp.asarray(points),
+                det_scores, det_bboxes * strides, jnp.asarray(points),
                 gt_labels, gt_bboxes, pm, bg_index=self.num_classes,
                 num_classes=self.num_classes)
         bboxes = bboxes / strides

@@ -57,10 +57,18 @@ class SSDHead(nn.Module):
     def __init__(self, num_classes=80, in_channels=(512, 1024, 512, 256, 256, 128),
                  num_priors=(3, 6, 6, 6, 6, 6), kernel_size=1, padding=0):
         self.num_classes = num_classes + 1  # + background
-        self.box_convs = [nn.Conv2d(c, p * 4, kernel_size, padding=padding)
+        # prediction convs: small normal init, NOT kaiming fan_out — with
+        # 12 output channels fan_out gives std~0.4, saturating both heads
+        # at init (the r2 detection-head bug class; it-0 loss was 93.8 and
+        # the fixture plateaued at mAP .23 with mAP75 .11)
+        from ...core import init as I
+        w = lambda s: I.normal(s, std=0.01)
+        self.box_convs = [nn.Conv2d(c, p * 4, kernel_size, padding=padding,
+                                    w_init=w)
                           for c, p in zip(in_channels, num_priors)]
         self.score_convs = [
-            nn.Conv2d(c, p * self.num_classes, kernel_size, padding=padding)
+            nn.Conv2d(c, p * self.num_classes, kernel_size, padding=padding,
+                      w_init=w)
             for c, p in zip(in_channels, num_priors)]
 
     def __call__(self, feats):

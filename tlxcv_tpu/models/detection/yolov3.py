@@ -94,9 +94,16 @@ class YOLOv3Head(nn.Module):
         self.anchors = [[tuple(anchors[i]) for i in mask] for mask in anchor_masks]
         self.mask_anchors = [sum(([*anchors[i]] for i in mask), [])
                              for mask in anchor_masks]
+        # small normal init on the prediction convs, NOT kaiming fan_out:
+        # with ~24 output channels fan_out gives std~0.29 -> preact std
+        # ~4.6 at 1024 input channels, saturating the obj/cls sigmoids at
+        # init (the r2 detection-head bug class; fixture plateaued at
+        # mAP75 .60 while mAP50 hit .87)
+        from ...core import init as I
         self.yolo_outputs = [
             nn.Conv2d(ch, len(m) * (num_classes + 5)
-                      + (len(m) if iou_aware else 0), 1)
+                      + (len(m) if iou_aware else 0), 1,
+                      w_init=lambda s: I.normal(s, std=0.01))
             for ch, m in zip(in_channels, anchor_masks)]
 
     def split_ioup(self, out, level):

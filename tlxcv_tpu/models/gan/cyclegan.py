@@ -6,18 +6,27 @@ import jax
 import jax.numpy as jnp
 
 from ... import nn
+from ...core import init as I
 from ...core.module import Module
 from ...ops.image import pad2d
 from .registry import DISCRIMINATORS, GENERATORS, MODELS
 
 __all__ = ["ResnetGenerator", "NLayerDiscriminator", "CycleGANModel"]
 
+# GAN conv init: normal(0.02) — the CycleGAN/pix2pix convention the
+# reference inherits from its backend defaults.  The framework-wide
+# kaiming fan_out default saturates the generator's tanh head at init
+# (preact std ~2.7 at ngf=32), killing G gradients: the two-domain bar
+# measured G loss pinned at ~20 (= cycle L1 at maximum error) for 900
+# steps before this fix.
+_w02 = lambda s: I.normal(s, std=0.02)  # noqa: E731
+
 
 class ResnetBlock(Module):
     def __init__(self, dim):
-        self.conv1 = nn.Conv2d(dim, dim, 3, bias=False)
+        self.conv1 = nn.Conv2d(dim, dim, 3, bias=False, w_init=_w02)
         self.norm1 = nn.InstanceNorm(dim)
-        self.conv2 = nn.Conv2d(dim, dim, 3, bias=False)
+        self.conv2 = nn.Conv2d(dim, dim, 3, bias=False, w_init=_w02)
         self.norm2 = nn.InstanceNorm(dim)
 
     def __call__(self, x):
@@ -33,21 +42,24 @@ class ResnetGenerator(Module):
     """(reference generators/resnet.py — 9-block CycleGAN generator)."""
 
     def __init__(self, input_nc=3, output_nc=3, ngf=64, n_blocks=9):
-        self.stem_conv = nn.Conv2d(input_nc, ngf, 7, bias=False)
+        self.stem_conv = nn.Conv2d(input_nc, ngf, 7, bias=False, w_init=_w02)
         self.stem_norm = nn.InstanceNorm(ngf)
-        self.down1 = nn.Conv2d(ngf, ngf * 2, 3, stride=2, padding=1, bias=False)
+        self.down1 = nn.Conv2d(ngf, ngf * 2, 3, stride=2, padding=1,
+                               bias=False, w_init=_w02)
         self.down1_norm = nn.InstanceNorm(ngf * 2)
         self.down2 = nn.Conv2d(ngf * 2, ngf * 4, 3, stride=2, padding=1,
-                               bias=False)
+                               bias=False, w_init=_w02)
         self.down2_norm = nn.InstanceNorm(ngf * 4)
         self.blocks = [ResnetBlock(ngf * 4) for _ in range(n_blocks)]
         self.up1 = nn.ConvTranspose2d(ngf * 4, ngf * 2, 3, stride=2,
-                                      padding=1, output_padding=1, bias=False)
+                                      padding=1, output_padding=1,
+                                      bias=False, w_init=_w02)
         self.up1_norm = nn.InstanceNorm(ngf * 2)
         self.up2 = nn.ConvTranspose2d(ngf * 2, ngf, 3, stride=2, padding=1,
-                                      output_padding=1, bias=False)
+                                      output_padding=1, bias=False,
+                                      w_init=_w02)
         self.up2_norm = nn.InstanceNorm(ngf)
-        self.head = nn.Conv2d(ngf, output_nc, 7)
+        self.head = nn.Conv2d(ngf, output_nc, 7, w_init=_w02)
 
     def __call__(self, x):
         x = pad2d(x, (3, 3, 3, 3), mode="reflect")
@@ -67,21 +79,23 @@ class NLayerDiscriminator(Module):
     """PatchGAN (reference discriminators/nlayers.py)."""
 
     def __init__(self, input_nc=3, ndf=64, n_layers=3):
-        layers = [nn.Conv2d(input_nc, ndf, 4, stride=2, padding=1),
+        layers = [nn.Conv2d(input_nc, ndf, 4, stride=2, padding=1,
+                             w_init=_w02),
                   nn.Activation(lambda x: nn.leaky_relu(x, 0.2))]
         mult = 1
         for i in range(1, n_layers):
             prev, mult = mult, min(2 ** i, 8)
             layers += [nn.Conv2d(ndf * prev, ndf * mult, 4, stride=2,
-                                 padding=1, bias=False),
+                                 padding=1, bias=False, w_init=_w02),
                        nn.InstanceNorm(ndf * mult),
                        nn.Activation(lambda x: nn.leaky_relu(x, 0.2))]
         prev, mult = mult, min(2 ** n_layers, 8)
         layers += [nn.Conv2d(ndf * prev, ndf * mult, 4, stride=1, padding=1,
-                             bias=False),
+                             bias=False, w_init=_w02),
                    nn.InstanceNorm(ndf * mult),
                    nn.Activation(lambda x: nn.leaky_relu(x, 0.2)),
-                   nn.Conv2d(ndf * mult, 1, 4, stride=1, padding=1)]
+                   nn.Conv2d(ndf * mult, 1, 4, stride=1, padding=1,
+                             w_init=_w02)]
         self.net = nn.Sequential(*layers)
 
     def __call__(self, x):
