@@ -352,8 +352,11 @@ def main():
         "vit_b16_mfu_pct": round(
             100 * vit_ips * VIT_FLOPS / V5E_BF16_PEAK, 1),
         "vit_b16_int8_value": round(vit_int8, 2),
+        # int8 legs compute mfu against the int8 peak, same basis as
+        # resnet50_int8 above (mixing bases made ViT-int8 look 2x more
+        # efficient than ResNet-int8 when they are near-identical)
         "vit_b16_int8_mfu_pct": round(
-            100 * vit_int8 * VIT_FLOPS / V5E_BF16_PEAK, 1),
+            100 * vit_int8 * VIT_FLOPS / V5E_INT8_PEAK, 1),
         "hrnet_w18_seg_512_value": round(hrnet_ips, 2),
         "hrnet_w18_seg_512_mfu_pct": round(
             100 * hrnet_ips * HRNET_FLOPS / V5E_BF16_PEAK, 1),

@@ -186,8 +186,12 @@ def main(argv=None):
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(rows, f, indent=1)
+    # leftover_src fails too: unconsumed source weights are the same
+    # topology-mismatch signal as unfilled destinations (e.g. an aux
+    # head the rebuild lacks) and must not exit 0
     bad = [r["model"] for r in rows
-           if "error" in r or r.get("pass") is False or r["unmatched_dst"]]
+           if "error" in r or r.get("pass") is False
+           or r.get("unmatched_dst") or r.get("leftover_src")]
     if bad:
         raise SystemExit(f"parity problems: {bad}")
 

@@ -109,11 +109,19 @@ def test_ppyoloe_loss_decreases(rng):
         return optax.apply_updates(params, u), state, opt_state, loss
 
     losses = []
-    for _ in range(20):
+    for _ in range(60):
         params, state, opt_state, loss = step(params, state, opt_state)
         losses.append(float(loss))
     assert np.isfinite(losses).all(), losses
-    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+    # TaskAligned from COLD start is non-monotone BY DESIGN of the fixed
+    # assigner (r4): alignment = score * iou^6 starts ~0, so the loss
+    # begins tiny, GROWS while scores warm up, then optimizes down — a
+    # first-20-steps "must decrease" check only passed against the buggy
+    # cutoff assigner that dropped all positives.  Assert the real
+    # contract: the loss comes well off its warm-up peak.
+    peak = max(losses)
+    assert losses[-1] < peak * 0.6, (losses[0], peak, losses[-1])
+    assert losses.index(peak) < len(losses) - 5, losses[-8:]
 
 
 def test_yolov3_overfit_to_map(rng):

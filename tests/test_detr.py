@@ -142,3 +142,39 @@ def test_auto_matcher_detects_axon():
     assert _auto_matcher_mode("cpu") == "callback"
     assert _auto_matcher_mode("") == "callback"
     assert _auto_matcher_mode("tpu") == "callback"
+
+
+def test_unassigned_matcher_rows_get_no_supervision(rng):
+    """An auction row returned as -1 (iteration-budget exhaustion) must
+    be masked out of the loss like a padded row — clamping it to query 0
+    scattered TWO gts into one query and trained query 0 toward an
+    arbitrary target (r4 review finding)."""
+    loss = DetrLoss(5, matcher="auction")
+    loss._match = lambda cost: jnp.asarray([[3, -1]], jnp.int32)
+
+    q, m = 6, 2
+    logits = jnp.asarray(rng.normal(size=(1, q, 6)), jnp.float32)
+    pred = jnp.asarray(rng.uniform(0.2, 0.8, size=(1, q, 4)), jnp.float32)
+    targets = {"boxes": jnp.asarray(rng.uniform(0.3, 0.6, size=(1, m, 4)),
+                                    jnp.float32),
+               "class_labels": jnp.asarray([[1, 2]], jnp.int32),
+               "mask": jnp.ones((1, m), jnp.float32)}
+
+    g_logits, g_pred = jax.grad(
+        lambda l, p: loss(l, p, targets), argnums=(0, 1))(logits, pred)
+    # the unmatched gt supervises NO query's boxes; only query 3 (gt 0)
+    # carries box gradient
+    gb = np.abs(np.asarray(g_pred)).sum(-1)[0]
+    assert gb[3] > 0
+    assert np.all(gb[np.arange(q) != 3] == 0)
+    # and no query's class target was scattered to gt 1's class: query 0
+    # must carry the same CE gradient as any other unmatched query would
+    # (its target is no-object, weighted eos_coef), not class-2 pull
+    tgt = np.full((q,), 5)
+    tgt[3] = 1
+    probs = np.asarray(jax.nn.softmax(logits, -1))[0]
+    cls_w = np.where(tgt == 5, loss.eos_coef, 1.0)
+    expect = probs.copy()
+    expect[np.arange(q), tgt] -= 1.0
+    expect *= cls_w[:, None] / cls_w.sum()
+    np.testing.assert_allclose(np.asarray(g_logits)[0], expect, atol=1e-5)

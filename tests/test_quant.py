@@ -231,3 +231,34 @@ def test_quantize_for_serving_fused_graph(rng):
     out, _ = jax.jit(lambda pp, ss, v: pure(m)(pp, ss, v))(pf, sf, x)
     assert _cos(base, out) > 0.999
     assert _cos(ref, out) > 0.995
+
+
+def test_fold_batchnorm_rolls_back_on_verification_failure(rng):
+    """A failed equivalence check must leave the model EXACTLY as it was
+    (r4 review finding: it used to raise mid-mutation, leaving rescaled
+    conv weights + folded BNs with no way back)."""
+    from tlxcv_tpu.ops.quant import fold_batchnorm
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    m = resnet18(num_classes=10)
+    for _, mod in m.modules():
+        if type(mod).__name__ == "BatchNorm":
+            c = mod.running_mean.value.shape[0]
+            mod.running_mean.value = jnp.asarray(
+                rng.normal(scale=0.2, size=(c,)), jnp.float32)
+    p, s = split(m)
+    ref, _ = pure(m)(p, s, x)
+    before = {k: np.asarray(v) for k, v in {**p, **s}.items()}
+
+    with pytest.raises(ValueError, match="model restored"):
+        fold_batchnorm(m, np.asarray(x), tol=-1.0)  # force failure
+
+    p2, s2 = split(m)
+    after = {**p2, **s2}
+    assert set(after) == set(before)  # no conv.bias params appeared
+    for k in before:
+        np.testing.assert_array_equal(before[k], np.asarray(after[k]), k)
+    # BNs are foldable again and the model still runs
+    out, _ = pure(m)(p2, s2, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert fold_batchnorm(m, np.asarray(x)) == 20

@@ -266,11 +266,11 @@ class DetrLoss(Module):
             mode = _auto_matcher_mode()
         if mode == "callback":
             return hungarian_callback(cost)
-        assign = jax.vmap(lambda c: auction_assign(c, num_iters=200))(cost)
-        # a row the auction left unassigned (iteration budget) must not
-        # index at -1 (negative indices WRAP in scatter, even with
-        # mode="drop") — pin it to column 0; loss masks padded rows
-        return jnp.maximum(assign, 0)
+        # rows the auction's iteration budget leaves unassigned come back
+        # as -1; the loss masks them out alongside padded rows (clamping
+        # them to a real column would scatter TWO gts into one query and
+        # train it toward an arbitrary target)
+        return jax.vmap(lambda c: auction_assign(c, num_iters=200))(cost)
 
     def __call__(self, logits, pred_boxes, targets):
         """targets: boxes [B, M, 4] normalized cxcywh, class_labels [B, M],
@@ -298,10 +298,15 @@ class DetrLoss(Module):
         cost = jnp.transpose(cost, (0, 2, 1))                   # [B, M, Q]
         assign = self._match(jax.lax.stop_gradient(cost))  # [B, M]
 
-        # classification: assigned queries get gt class, rest no-object
+        # classification: assigned queries get gt class, rest no-object.
+        # valid = real gt AND actually matched (the auction matcher may
+        # return -1 on iteration-budget exhaustion — such rows get no
+        # supervision this step; negative indices would WRAP in scatter
+        # even with mode="drop", so they are routed to the q sentinel)
+        valid = (mask > 0) & (assign >= 0)
         bidx = jnp.arange(b)[:, None]
         tgt_class = jnp.full((b, q), self.num_classes, jnp.int32)
-        safe_assign = jnp.where(mask > 0, assign, q)
+        safe_assign = jnp.where(valid, assign, q)
         tgt_class = tgt_class.at[bidx, safe_assign].set(gt_labels, mode="drop")
         logp = jax.nn.log_softmax(logits, -1)
         ce = -jnp.take_along_axis(logp, tgt_class[..., None], -1)[..., 0]
@@ -309,11 +314,12 @@ class DetrLoss(Module):
         loss_ce = (ce * cls_w).sum() / cls_w.sum()
 
         # box losses on matched pairs
+        vmask = valid.astype(gt_boxes.dtype)
         matched_pred = pred_boxes[bidx, safe_assign.clip(0, q - 1)]  # [B, M, 4]
         num_boxes = jnp.maximum(mask.sum(), 1.0)
-        l1 = (jnp.abs(matched_pred - gt_boxes).sum(-1) * mask).sum() / num_boxes
+        l1 = (jnp.abs(matched_pred - gt_boxes).sum(-1) * vmask).sum() / num_boxes
         giou = ((1.0 - aligned_iou(xywh2xyxy(matched_pred), gxyxy,
-                                   mode="giou")) * mask).sum() / num_boxes
+                                   mode="giou")) * vmask).sum() / num_boxes
         wc, wb, wg = self.weights
         return wc * loss_ce + wb * l1 + wg * giou
 

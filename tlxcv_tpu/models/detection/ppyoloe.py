@@ -321,8 +321,10 @@ def task_aligned_assign(pred_scores, pred_bboxes, anchor_points,
     # and the cls loss then trains all scores to zero (observed: the
     # two-phase sweep collapsed to loss 5e-4 / mAP 0.0 after the switch).
     _, topk_idxs = jax.lax.top_k(metric, k)                  # [B, M, k]
+    # top_k indices are distinct, so the one-hot sum is already 0/1 (the
+    # reference's duplicate guard existed only because it zeroed masked
+    # indices to 0, creating collisions); padded gts are masked below
     is_topk = jax.nn.one_hot(topk_idxs, a, dtype=jnp.float32).sum(-2)
-    is_topk = jnp.where(is_topk > 1, 0.0, is_topk)
     mask_positive = is_topk * inside * pad_gt_mask
     mask_positive = _resolve_conflicts(mask_positive, ious)
     labels, bboxes, has_pos, assigned_gt = _gather_assignments(

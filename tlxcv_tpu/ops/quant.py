@@ -219,6 +219,8 @@ def fold_batchnorm(model, example, forward=None, tol=1e-2):
             consumers[i] = consumers.get(i, 0) + 1
 
     count = 0
+    undo = []  # restore closures so a failed verification can't leave a
+    # half-folded model behind (fuse_requantize already rolls back)
     for ev in events:
         if ev["kind"] != "BatchNorm" or getattr(ev["mod"], "_folded", False):
             continue
@@ -240,12 +242,26 @@ def fold_batchnorm(model, example, forward=None, tol=1e-2):
             shift = shift * g
         if bn.bias is not None:
             shift = shift + np.asarray(bn.bias.value, np.float32)
+        old_bias = conv.bias
         if _int8_conv(conv):
+            old_ws = conv.w_scale.value
+
+            def _restore(c=conv, ws=old_ws, ob=old_bias, b_=bn):
+                c.w_scale.value = ws
+                c.bias = ob
+                b_._folded = False
             conv.w_scale.value = conv.w_scale.value * jnp.asarray(scale)
         else:
+            old_w = conv.weight.value
+
+            def _restore(c=conv, w_=old_w, ob=old_bias, b_=bn):
+                c.weight.value = w_
+                c.bias = ob
+                b_._folded = False
             w = conv.weight.value
             conv.weight.value = (w.astype(jnp.float32) *
                                  jnp.asarray(scale)).astype(w.dtype)
+        undo.append(_restore)
         b = shift if conv.bias is None else \
             np.asarray(conv.bias.value, np.float32) * scale + shift
         conv.bias = Param(jnp.asarray(b, jnp.float32))
@@ -256,10 +272,13 @@ def fold_batchnorm(model, example, forward=None, tol=1e-2):
     err = float(np.max(np.abs(y1 - y0)))
     ref = float(np.max(np.abs(y0))) + 1e-12
     if err > tol * ref:
+        for f in reversed(undo):
+            f()
         raise ValueError(
             f"fold_batchnorm changed the model output (max abs diff {err:g}"
             f" vs max |y| {ref:g}) — an untraced consumer reads a folded"
-            " conv/BN tensor; fold selectively or fix the trace")
+            " conv/BN tensor (model restored; fold selectively or fix the"
+            " trace)")
     return count
 
 

@@ -1,0 +1,93 @@
+"""Space-to-depth stem rewrite — the MLPerf-ResNet TPU trick.
+
+The canonical ResNet stem (7x7 stride-2 pad-3 conv on 3 input channels)
+is the single worst-mapped op in the whole serving graph on this chip:
+`demo/image_classification/profile_resnet_int8_stages.py` measures it at
+~13 TFLOP/s int8 (3% of peak) while layer4 runs at 70% — a 7x7 window
+striding over a 3-channel image gives the MXU a K=147 contraction fed
+from a strided, channel-starved layout.
+
+The rewrite is EXACT (bit-equal weight remapping, no retraining):
+reorganize each 2x2 pixel block into channels (space-to-depth), then the
+7x7/2 conv becomes a 4x4 stride-1 VALID conv over the blocked image —
+K = 4*4*12 = 192, no striding, half the spatial extent.
+
+    y[i,j] = sum_{d,e} w7[d,e] x[2i+d-3, 2j+e-3]          (orig, pad 3)
+           = sum_{d,e} w8[d+1,e+1] x_pad[2i+d+1, 2j+e+1]  (pad 4 left)
+           = sum_{u,v,a,b} w8[2u+a, 2v+b] z[i+u, j+v, (a,b,c)]
+
+with w8 = w7 zero-padded by one row/col at the top/left and
+z = space_to_depth(x padded (4, 2) per axis).  The (4, 2) asymmetric
+padding makes the VALID conv output EXACTLY H/2 x W/2 — no trailing
+slice, so the wrapped conv's output tensor feeds the following BatchNorm
+directly and the ops.quant trace/fold/requantize machinery keeps
+working (a slice between conv and BN would break fold_batchnorm's
+id-adjacency and silently stop the int8 producer-side requantization at
+the stem).
+
+Apply BEFORE ops.quant.quantize_for_serving; forward-exact, so the
+quantization calibration sees identical activations.  No reference
+counterpart (the reference has no performance layer at all); the trick
+itself is public TPU lore (MLPerf ResNet submissions).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import nn
+from ..core.module import Module
+
+__all__ = ["SpaceToDepthStem", "convert_stem_to_space_to_depth"]
+
+
+class SpaceToDepthStem(Module):
+    """Drop-in replacement for a 7x7/2 pad-3 stem ``nn.Conv2d``."""
+
+    def __init__(self, conv: nn.Conv2d):
+        w7 = np.asarray(conv.weight.value)
+        if w7.shape[:2] != (7, 7) or tuple(conv.stride) != (2, 2):
+            raise ValueError(f"not a 7x7/2 stem conv: {w7.shape}, "
+                             f"stride {conv.stride}")
+        if conv.padding != [(3, 3), (3, 3)] and \
+                tuple(map(tuple, conv.padding)) != ((3, 3), (3, 3)):
+            raise ValueError(f"stem must be pad-3, got {conv.padding}")
+        if conv.groups != 1 or tuple(conv.dilation) != (1, 1):
+            raise ValueError("grouped/dilated stems not supported")
+        if w7.dtype == np.int8:
+            raise ValueError("apply space-to-depth BEFORE quantization")
+        c, o = w7.shape[2], w7.shape[3]
+        w8 = np.zeros((8, 8, c, o), w7.dtype)
+        w8[1:, 1:] = w7
+        # [8,8,C,O] -> (u,a,v,b,C,O) -> (u,v,a,b,C,O) -> [4,4,4C,O];
+        # channel order (a,b,c) matches the reshape-based s2d below
+        w4 = w8.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5) \
+               .reshape(4, 4, 4 * c, o)
+        self.in_channels = c
+        self.conv = nn.Conv2d(4 * c, o, 4, stride=1, padding=0,
+                              bias=conv.bias is not None)
+        self.conv.weight.value = jnp.asarray(w4)
+        if conv.bias is not None:
+            self.conv.bias = conv.bias
+
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        # (4, 2|3) padding: left 4 realigns the pad-3 window to even
+        # offsets; right 2 (3 for odd dims) lands the VALID conv on
+        # exactly ceil(H/2) outputs with no trailing slice
+        x = jnp.pad(x, ((0, 0), (4, 2 + h % 2), (4, 2 + w % 2), (0, 0)))
+        hp, wp = x.shape[1], x.shape[2]
+        x = x.reshape(b, hp // 2, 2, wp // 2, 2, c) \
+             .transpose(0, 1, 3, 2, 4, 5) \
+             .reshape(b, hp // 2, wp // 2, 4 * c)
+        return self.conv(x)
+
+
+def convert_stem_to_space_to_depth(model, attr="conv1"):
+    """Swap ``model.<attr>`` (a 7x7/2 stem conv) for its exact
+    space-to-depth rewrite.  Returns the model."""
+    conv = getattr(model, attr)
+    if isinstance(conv, SpaceToDepthStem):
+        return model
+    setattr(model, attr, SpaceToDepthStem(conv))
+    return model
