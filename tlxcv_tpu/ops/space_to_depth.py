@@ -29,6 +29,21 @@ Apply BEFORE ops.quant.quantize_for_serving; forward-exact, so the
 quantization calibration sees identical activations.  No reference
 counterpart (the reference has no performance layer at all); the trick
 itself is public TPU lore (MLPerf ResNet submissions).
+
+MEASURED VERDICT (r4, real chip, int8 ResNet-50 b256 —
+demo/image_classification/probe_s2d_stem.py / probe_s2d_variants.py):
+**opt-in only; no e2e win on this chip.**  e2e 12,908 -> 12,362 img/s
+(0.96x) with the blocking on-device; stem-stage-only orig 3.53 ms /
+s2d-on-device 3.62 / s2d-pre-blocked 3.25.  The stem stage here is
+HBM-bound, not MXU-mapping-bound: its conv output (112^2x64 x b256)
+plus the maxpool read/write dominate, so fixing the contraction layout
+moves ~0.3 ms of ~20 ms (and the device-side 2x2 blocking transpose —
+lane dim 3->12, far below the 128-lane tile — costs more than that).
+The profiler's "12.5 TFLOP/s stem" was a denominator artifact of a
+bandwidth-bound stage.  Kept because it is exact, tested, and the
+right call on hardware where the stem IS contraction-bound (feed
+pre-blocked input and call `.conv` directly to skip the device
+transform, as probe_s2d_variants.py variant (c) does).
 """
 from __future__ import annotations
 
