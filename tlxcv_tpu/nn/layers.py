@@ -141,6 +141,37 @@ def _conv_padding(padding, kernel, stride, dilation, nd=2):
     return [tuple(p) for p in padding]
 
 
+def _fake_quant_w(w):
+    """Per-out-channel symmetric int8 fake-quant with a straight-through
+    estimator (QAT — enabled via ops.quant.enable_qat).  Bit-aligned with
+    ops.quant.quantize_weights (same scale formula, same clip), so the
+    QAT forward sees exactly the weight the int8 serving path will load;
+    the STE passes the loss gradient through to the float master."""
+    f = w.astype(jnp.float32)
+    axis = tuple(range(f.ndim - 1))  # HWIO / (in, out): out last
+    s = jnp.maximum(jnp.max(jnp.abs(f), axis=axis) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(f / s), -127, 127) * s
+    return (f + lax.stop_gradient(q - f)).astype(w.dtype)
+
+
+def _fake_quant_a(x, s_in):
+    """Static activation fake-quant (scalar calibrated scale), STE on x —
+    mirrors the full-int8 serving path's input quantization."""
+    f = x.astype(jnp.float32)
+    q = jnp.clip(jnp.round(f / s_in), -127, 127) * s_in
+    return (f + lax.stop_gradient(q - f)).astype(x.dtype)
+
+
+def _qat_wx(mod, w, x):
+    """Apply QAT fake-quant to (w, x) per the module's enable_qat flags."""
+    if getattr(mod, "_qat", False):
+        w = _fake_quant_w(w)
+        if getattr(mod, "_qat_act", False) and \
+                getattr(mod, "a_scale", None) is not None:
+            x = _fake_quant_a(x, mod.a_scale.value)
+    return w, x
+
+
 # --------------------------------------------------------------------------
 # Conv / Linear / Embedding
 # --------------------------------------------------------------------------
@@ -172,6 +203,7 @@ class Conv2d(Module):
         w = self.weight.value
         if w.dtype == jnp.int8:
             return self._int8_call(x, w)
+        w, x = _qat_wx(self, w, x)
         w = w.astype(x.dtype)
         y = lax.conv_general_dilated(
             x, w,
