@@ -1,0 +1,143 @@
+"""bench.py survivability harness (VERDICT r4 weak #1 / next #1).
+
+BENCH_r04.json was `rc: 124, parsed: null` — the driver timeout killed
+bench.py before its single end-of-run print, losing every number.  The
+r5 harness re-emits the full JSON line after every completed leg,
+enforces a total-time budget with per-leg estimates, survives a leg
+exception, and traps SIGTERM.  These tests drive that logic with fake
+legs (no TPU, no model builds)."""
+import json
+import os
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+
+@pytest.fixture
+def bench(monkeypatch):
+    import bench as B
+
+    monkeypatch.setattr(B, "RESULTS", {})
+    monkeypatch.setattr(B, "SKIPPED", [])
+    monkeypatch.setattr(B, "T_START", time.monotonic())
+    return B
+
+
+def run_main(bench, capsys):
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    return [json.loads(l) for l in lines]
+
+
+def test_incremental_emission_last_line_wins(bench, capsys, monkeypatch):
+    monkeypatch.setattr(bench, "LEGS", [
+        ("a", lambda: {"value": 1.0, "vs_baseline": 0.5}, 1),
+        ("b", lambda: {"b_value": 2.0}, 1),
+        ("c", lambda: {"c_value": 3.0}, 1),
+    ])
+    out = run_main(bench, capsys)
+    # one line per leg + the final line; every line is valid JSON with
+    # the headline schema
+    assert len(out) == 4
+    for line in out:
+        assert line["metric"] == "resnet50_infer_images_per_sec_per_chip"
+        assert "value" in line and "unit" in line and "vs_baseline" in line
+    # the FIRST line already carries the headline number (a driver kill
+    # after leg 1 still records it)
+    assert out[0]["value"] == 1.0
+    # last line accumulates everything
+    assert out[-1]["b_value"] == 2.0 and out[-1]["c_value"] == 3.0
+    assert "skipped_legs" not in out[-1]
+
+
+def test_budget_skips_legs_that_do_not_fit(bench, capsys, monkeypatch):
+    ran = []
+
+    def leg(name, cost):
+        def f():
+            ran.append(name)
+            return {f"{name}_value": 1.0}
+        return (name, f, cost)
+
+    monkeypatch.setattr(bench, "BUDGET_S", 10.0)
+    # est 1 fits, est 10_000 does not, the later small one fits again
+    monkeypatch.setattr(bench, "LEGS",
+                        [leg("a", 1), leg("big", 10_000), leg("c", 1)])
+    out = run_main(bench, capsys)
+    assert ran == ["a", "c"]
+    assert out[-1]["skipped_legs"] == "big"
+    assert out[-1]["a_value"] == 1.0 and out[-1]["c_value"] == 1.0
+
+
+def test_leg_exception_does_not_kill_artifact(bench, capsys, monkeypatch):
+    def boom():
+        raise RuntimeError("compile exploded")
+
+    monkeypatch.setattr(bench, "LEGS", [
+        ("a", lambda: {"value": 5.0, "vs_baseline": 1.0}, 1),
+        ("bad", boom, 1),
+        ("c", lambda: {"c_value": 7.0}, 1),
+    ])
+    out = run_main(bench, capsys)
+    last = out[-1]
+    assert last["value"] == 5.0 and last["c_value"] == 7.0
+    assert "bad" in last["skipped_legs"]
+    assert "compile exploded" in last["bad_error"]
+
+
+def test_sigterm_emits_partial_line():
+    """Driver-kill simulation: SIGTERM mid-leg must still print a
+    parseable line carrying the finished legs (subprocess because
+    signal handlers need the main thread)."""
+    script = textwrap.dedent("""
+        import sys, time
+        sys.path.insert(0, %r)
+        import bench
+
+        def slow():
+            print("LEG2_STARTED", file=sys.stderr, flush=True)
+            time.sleep(60)
+            return {}
+        bench.LEGS = [
+            ("a", lambda: {"value": 9.0, "vs_baseline": 2.0}, 1),
+            ("slow", slow, 1),
+        ]
+        bench.WATCHDOG_S = 3600
+        bench.main()
+    """) % (REPO,)
+    proc = subprocess.Popen([sys.executable, "-c", script],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True)
+    # wait until leg 2 is underway, then deliver the driver's SIGTERM
+    deadline = time.time() + 120
+    started = False
+    import threading
+    err_lines = []
+
+    def drain():
+        for line in proc.stderr:
+            err_lines.append(line)
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+    while time.time() < deadline:
+        if any("LEG2_STARTED" in l for l in err_lines):
+            started = True
+            break
+        time.sleep(0.2)
+    assert started, f"leg 2 never started: {err_lines}"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=60)
+    lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+    assert lines, f"no JSON on stdout after SIGTERM: {out!r}"
+    last = json.loads(lines[-1])
+    assert last["value"] == 9.0
+    assert "terminated by signal" in last.get("note", "")
+    assert proc.returncode == 0
