@@ -353,24 +353,28 @@ class Linear(Module):
         if w.dtype == jnp.int8:
             out_dtype = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) \
                 else jnp.float32
-            w_scale = self.w_scale.value  # [out] f32
-            a_scale = getattr(self, "a_scale", None)
-            if a_scale is not None:
-                s_in = a_scale.value
-                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
-                              -127, 127).astype(jnp.int8)
-                y = jnp.dot(xq, w, preferred_element_type=jnp.int32)
-                y = y.astype(jnp.float32) * (s_in * w_scale)
-            else:
-                wf = (w.astype(jnp.float32) * w_scale).astype(out_dtype)
-                y = jnp.dot(x, wf, preferred_element_type=out_dtype)
-            if self.bias is not None:
-                y = y + self.bias.value.astype(y.dtype)
-            return y.astype(out_dtype)
+            return self._int8_call(x, w, out_dtype)
+        w, x = _qat_wx(self, w, x)
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
         if self.bias is not None:
             y = y + self.bias.value.astype(y.dtype)
         return y
+
+    def _int8_call(self, x, w, out_dtype):
+        w_scale = self.w_scale.value  # [out] f32
+        a_scale = getattr(self, "a_scale", None)
+        if a_scale is not None:
+            s_in = a_scale.value
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in),
+                          -127, 127).astype(jnp.int8)
+            y = jnp.dot(xq, w, preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (s_in * w_scale)
+        else:
+            wf = (w.astype(jnp.float32) * w_scale).astype(out_dtype)
+            y = jnp.dot(x, wf, preferred_element_type=out_dtype)
+        if self.bias is not None:
+            y = y + self.bias.value.astype(y.dtype)
+        return y.astype(out_dtype)
 
 
 class Embedding(Module):

@@ -33,7 +33,8 @@ from .. import nn
 from ..core.module import Param
 
 __all__ = ["quantize_weights", "calibrate_activations", "dequantize_check",
-           "fold_batchnorm", "fuse_requantize", "quantize_for_serving"]
+           "fold_batchnorm", "fuse_requantize", "quantize_for_serving",
+           "enable_qat", "disable_qat", "qat_serving_convert"]
 
 
 def _quantizable(mod) -> bool:
@@ -76,10 +77,16 @@ def calibrate_activations(model, batches, percentile: float = 100.0,
     Call AFTER :func:`quantize_weights`.  ``batches`` is an iterable of
     input arrays.  Keep them small — this runs op-by-op (eager).
     ``forward`` overrides the calibration callable (e.g. a detector's
-    ``head_outputs`` to skip the eager NMS postprocess)."""
+    ``head_outputs`` to skip the eager NMS postprocess).
+
+    QAT: float layers flagged by :func:`enable_qat` are calibrated too
+    (their ``a_scale`` feeds the activation fake-quant in training and
+    carries over verbatim to the serving graph —
+    :func:`qat_serving_convert`)."""
     layers = [mod for _, mod in model.modules()
               if isinstance(mod, (nn.Conv2d, nn.Linear))
-              and mod.weight.value.dtype == jnp.int8]
+              and (mod.weight.value.dtype == jnp.int8
+                   or getattr(mod, "_qat", False))]
     records = {id(mod): [] for mod in layers}
 
     orig_conv = nn.Conv2d.__call__
@@ -128,6 +135,74 @@ def calibrate_activations(model, batches, percentile: float = 100.0,
         mod.a_scale = Param(jnp.asarray(max(amax, 1e-12) / 127.0,
                                         jnp.float32))
     return len(layers)
+
+
+def enable_qat(model, act: bool = True,
+               include: tp.Optional[tp.Callable] = None) -> int:
+    """Turn on quantization-aware training: every float Conv2d/Linear
+    fake-quantizes its weight (per-out-channel int8, straight-through
+    estimator) on the forward pass, bit-aligned with
+    :func:`quantize_weights`'s scale/clip, so the loss sees exactly the
+    weights the int8 serving path will load.
+
+    ``act=True`` additionally fake-quantizes each layer's input with
+    the static calibrated scale once :func:`calibrate_activations` has
+    attached ``a_scale`` (run it right after this, on a few batches) —
+    mirroring the full-int8 serving path.  Workflow::
+
+        enable_qat(model)                    # flags + weight fake-quant
+        calibrate_activations(model, cal)    # attach a_scale (QAT-aware)
+        ... fine-tune via pure()/split()/Trainer ...
+        model.load_state_dict({**params, **state})
+        qat_serving_convert(model)           # int8 serving, bit-aligned
+
+    ``include(path, mod) -> bool`` filters layers (default all).
+    Returns the number of layers flagged.  Already-int8 layers are
+    skipped (they are serving artifacts, not trainable)."""
+    count = 0
+    for path, mod in model.modules():
+        if not isinstance(mod, (nn.Conv2d, nn.Linear)) or \
+                mod.weight.value.dtype == jnp.int8:
+            continue
+        if include is not None and not include(path, mod):
+            continue
+        mod._qat = True
+        mod._qat_act = act
+        count += 1
+    return count
+
+
+def disable_qat(model, keep_scales: bool = True) -> int:
+    """Clear QAT flags in place (calibrated ``a_scale`` params are kept
+    by default so :func:`qat_serving_convert` can reuse them)."""
+    count = 0
+    for _, mod in model.modules():
+        if getattr(mod, "_qat", False):
+            count += 1
+        for attr in ("_qat", "_qat_act"):
+            if hasattr(mod, attr):
+                delattr(mod, attr)
+        if not keep_scales and hasattr(mod, "a_scale"):
+            del mod.a_scale
+    return count
+
+
+def qat_serving_convert(model) -> int:
+    """Convert a QAT-fine-tuned model in place to the int8 serving path,
+    BIT-ALIGNED with its QAT forward: weights quantize with the same
+    per-out-channel scale formula the fake-quant used (so the served
+    int8 codes are exactly the ones training optimized against), and
+    the calibrated ``a_scale`` params carry over verbatim (no
+    re-calibration — re-measuring scales post-QAT would break the
+    alignment the fine-tune established).
+
+    Remember the functional-training trap: after ``pure()``/``split()``
+    training the module still holds its INIT weights —
+    ``model.load_state_dict({**params, **state})`` first.
+
+    Returns the number of layers quantized."""
+    disable_qat(model, keep_scales=True)
+    return quantize_weights(model)
 
 
 def _trace(model, example, forward=None):
@@ -308,14 +383,22 @@ def fuse_requantize(model, example, forward=None, tol=0.05):
     add.  Safety is therefore NUMERICAL, not structural: fuse all
     candidate edges, verify the end-to-end output moved <= ``tol``
     relative, and on failure re-add edges one at a time keeping only
-    those that preserve the output (greedy rollback — O(edges) eager
-    forwards, offline-export cost only).  Returns the number of fused
-    edges that survive.
+    those that preserve the output (greedy rollback — O(edges x
+    examples) eager forwards, offline-export cost only).  Returns the
+    number of fused edges that survive.
+
+    ``example`` may be a LIST of inputs: verification (including the
+    greedy rollback) must then hold on every one (ADVICE r4: a hidden
+    second consumer whose effect stayed under tol on a single batch
+    silently survived fusion; :func:`quantize_for_serving` now passes
+    all calibration batches).
     """
-    x = jnp.asarray(example)
+    examples = [jnp.asarray(e) for e in
+                (example if isinstance(example, (list, tuple))
+                 else [example])]
     run = forward or model
-    y0 = np.asarray(run(x), np.float32)
-    events = _trace(model, example, forward)
+    y0s = [np.asarray(run(x), np.float32) for x in examples]
+    events = _trace(model, examples[0], forward)
     consumers = {}
     for ev in events:
         if ev["out"] in ev["in"]:
@@ -353,7 +436,7 @@ def fuse_requantize(model, example, forward=None, tol=0.05):
         if target is not None:
             edges.append((ev["mod"], relu_seen, target.a_scale.value))
 
-    ref = float(np.max(np.abs(y0))) + 1e-12
+    refs = [float(np.max(np.abs(y0))) + 1e-12 for y0 in y0s]
 
     def fuse(mod, relu_seen, scale):
         mod.out_scale = Param(jnp.asarray(scale, jnp.float32))
@@ -365,8 +448,11 @@ def fuse_requantize(model, example, forward=None, tol=0.05):
             del mod.relu_fused
 
     def ok():
-        y1 = np.asarray(run(x), np.float32)
-        return float(np.max(np.abs(y1 - y0))) <= tol * ref
+        for x, y0, ref in zip(examples, y0s, refs):
+            y1 = np.asarray(run(x), np.float32)
+            if float(np.max(np.abs(y1 - y0))) > tol * ref:
+                return False
+        return True
 
     for mod, relu_seen, scale in edges:
         fuse(mod, relu_seen, scale)
@@ -398,8 +484,8 @@ def quantize_for_serving(model, calib_batches, forward=None,
     """One-call full-int8 serving pipeline: fold BN -> int8 weights ->
     activation calibration -> producer-side requantize fusion.
 
-    ``calib_batches``: iterable of host input arrays (first one doubles
-    as the fold/fuse verification example).  Returns
+    ``calib_batches``: iterable of host input arrays (the first is the
+    fold verification example; fuse verifies against all).  Returns
     ``(n_folded, n_quantized, n_calibrated, n_fused)``.
     """
     batches = list(calib_batches)
@@ -407,7 +493,8 @@ def quantize_for_serving(model, calib_batches, forward=None,
     n_fold = fold_batchnorm(model, example, forward)
     n_q = quantize_weights(model)
     n_cal = calibrate_activations(model, batches, percentile, forward)
-    n_fuse = fuse_requantize(model, example, forward)
+    # fuse verification must hold on EVERY calibration batch (ADVICE r4)
+    n_fuse = fuse_requantize(model, batches, forward)
     return n_fold, n_q, n_cal, n_fuse
 
 
