@@ -79,9 +79,13 @@ class SpaceToDepthStem(Module):
         w4 = w8.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5) \
                .reshape(4, 4, 4 * c, o)
         self.in_channels = c
+        # w_init from the rewritten kernel directly: the default kaiming
+        # init would draw from core.init's GLOBAL host RNG before being
+        # overwritten, perturbing init-RNG reproducibility for every
+        # model built after a conversion (ADVICE r4)
         self.conv = nn.Conv2d(4 * c, o, 4, stride=1, padding=0,
-                              bias=conv.bias is not None)
-        self.conv.weight.value = jnp.asarray(w4)
+                              bias=conv.bias is not None,
+                              w_init=lambda s: jnp.asarray(w4))
         if conv.bias is not None:
             self.conv.bias = conv.bias
 
