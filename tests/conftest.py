@@ -29,6 +29,49 @@ def pytest_configure(config):
         "(deselect with -m 'not slow' for the quick inner loop)")
 
 
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Suite-currency record (VERDICT r4 #7): a full-suite run launched
+    with RECORD_SUITE=1 writes tests/suite_record.json (git SHA + date +
+    counts); test_suite_record.py gates that the committed record is
+    green and within a few commits of HEAD, so a round can no longer
+    close with its last commits unexercised."""
+    if not os.environ.get("RECORD_SUITE"):
+        return
+    import datetime
+    import json
+    import subprocess
+    import time as _time
+
+    start = getattr(terminalreporter, "_sessionstarttime", None)
+    if start is None:  # pytest >= 8 renamed it
+        start = getattr(terminalreporter, "_session_start", None)
+        start = getattr(start, "time", None) if start is not None else None
+    stats = terminalreporter.stats
+    counts = {k: len(stats.get(k, []))
+              for k in ("passed", "failed", "error", "skipped",
+                        "deselected")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def git(*args):
+        return subprocess.run(["git", *args], capture_output=True,
+                              text=True, cwd=repo).stdout.strip()
+
+    rec = {
+        "sha": git("rev-parse", "HEAD"),
+        "dirty": bool(git("status", "--porcelain")),
+        "date": datetime.datetime.now(datetime.timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "exitstatus": int(exitstatus),
+        "duration_s": (round(_time.time() - start, 1)
+                       if isinstance(start, float) else None),
+        **counts,
+    }
+    path = os.path.join(repo, "tests", "suite_record.json")
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+    terminalreporter.write_line(f"suite_record.json written: {rec}")
+
+
 # Whole modules that dominate suite wall-time (the torch-oracle parity
 # battery + end-to-end training loops).  `pytest -m 'not slow'` gives a
 # quick regression tier; the full suite stays the nightly bar
