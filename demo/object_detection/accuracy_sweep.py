@@ -15,6 +15,12 @@ this is the zero-external-data equivalent.
 Run: python demo/object_detection/accuracy_sweep.py [model ...]
   (no args = all).  Writes per-model results to sweep_results.json as
   each model finishes.  ~3-6 min/model on one TPU v5e chip.
+
+  --int8: after the float bar, push the TRAINED checkpoint through
+  ops.quant.quantize_for_serving and re-score it — the quantized model
+  must hold mAP within 0.02 of float (VERDICT r4 #5: int8 serving
+  proven on a task metric, not just output-drift parity).  Writes to
+  int8_results.json.
 """
 import os
 import sys
@@ -254,7 +260,7 @@ def batcher(ds, idxs):
              "mask": jnp.asarray(np.stack(mask))})
 
 
-def run_model(name, steps=None, log_every=500):
+def run_model(name, steps=None, log_every=500, int8=False):
     entry = REGISTRY[name]
     build, default_steps, lr, floor = entry[:4]
     opts = entry[4] if len(entry) > 4 else {}
@@ -343,19 +349,77 @@ def run_model(name, steps=None, log_every=500):
                           "labels": dets[j, :n, 0].astype(int)})
             _, t = val[i]
             gts.append({"boxes": t["boxes"], "labels": t["class_labels"]})
-    stats = compute_map(preds, gts)
+    def eval_map(predict_fn, p, s):
+        preds, gts = [], []
+        for i0 in range(0, len(val), B):
+            idxs = list(range(i0, min(i0 + B, len(val))))
+            x, _ = batcher(val, idxs)
+            out = predict_fn(p, s, x)
+            dets = np.asarray(out[0], np.float32)
+            counts = np.asarray(out[1])
+            for j, i in enumerate(idxs):
+                n = int(counts[j])
+                preds.append({"boxes": dets[j, :n, 2:6],
+                              "scores": dets[j, :n, 1],
+                              "labels": dets[j, :n, 0].astype(int)})
+                _, t = val[i]
+                gts.append({"boxes": t["boxes"],
+                            "labels": t["class_labels"]})
+        return compute_map(preds, gts)
+
+    stats = eval_map(predict, params, state)
     elapsed = time.time() - t0
     print(f"  [{name}] mAP={stats['map']:.4f} mAP50={stats['map50']:.4f} "
           f"mAP75={stats['map75']:.4f} floor={floor} ({elapsed:.0f}s)",
           flush=True)
-    return {"model": name, "map": stats["map"], "map50": stats["map50"],
-            "map75": stats["map75"], "floor": floor, "steps": steps,
-            "seconds": round(elapsed, 1), "pass": stats["map"] >= floor}
+    result = {"model": name, "map": stats["map"], "map50": stats["map50"],
+              "map75": stats["map75"], "floor": floor, "steps": steps,
+              "seconds": round(elapsed, 1), "pass": stats["map"] >= floor}
+
+    if int8:
+        # int8 TASK-accuracy bar (VERDICT r4 #5): the serving claim so
+        # far rested on detection-count/box-drift parity on random
+        # inputs (tests/test_quant.py); here the TRAINED checkpoint goes
+        # through the full quantize_for_serving pipeline and must hold
+        # the fixture mAP within 0.02 of its float self.
+        from tlxcv_tpu.ops.quant import quantize_for_serving
+
+        model.load_state_dict({**params, **state})
+        calib = [np.asarray(batcher(train, rng.integers(
+            0, len(train), size=8))[0], np.float32) for _ in range(2)]
+        # fold/fuse verification needs a single-array eval-mode forward;
+        # detectors emit multi-level heads — flatten-and-concat them
+        fold_fwd = (lambda v: jnp.concatenate(
+            [o.reshape(-1) for o in
+             jax.tree_util.tree_leaves(model.head_outputs(jnp.asarray(v)))]))
+        n_fold, n_q, n_cal, n_fuse = quantize_for_serving(
+            model, calib, forward=fold_fwd)
+        print(f"  [{name}] int8: folded {n_fold} BN, {n_q} layers, "
+              f"{n_cal} calibrated, {n_fuse} requant-fused", flush=True)
+        qparams, qstate = split(model)
+        qfwd = pure(model, PREDICT_ADAPTERS[name]) \
+            if name in PREDICT_ADAPTERS else pure(model)
+
+        @jax.jit
+        def predict_q(p, s, x):
+            out, _ = qfwd(p, s, x, training=False)
+            return out
+
+        qstats = eval_map(predict_q, qparams, qstate)
+        drop = stats["map"] - qstats["map"]
+        print(f"  [{name}] int8 mAP={qstats['map']:.4f} "
+              f"(float {stats['map']:.4f}, drop {drop:+.4f})", flush=True)
+        result.update(int8_map=qstats["map"], int8_map50=qstats["map50"],
+                      int8_drop=round(drop, 4),
+                      int8_pass=qstats["map"] >= stats["map"] - 0.02)
+        result["pass"] = result["pass"] and result["int8_pass"]
+    return result
 
 
-def main(names):
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "sweep_results.json")
+def main(names, int8=False):
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "int8_results.json" if int8 else "sweep_results.json")
     results = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
@@ -364,7 +428,7 @@ def main(names):
     for name in names:
         print(f"== {name} ==", flush=True)
         try:
-            r = run_model(name)
+            r = run_model(name, int8=int8)
         except Exception as e:  # keep sweeping; report at the end
             print(f"  [{name}] ERROR: {e}", flush=True)
             r = {"model": name, "error": str(e), "pass": False}
@@ -387,8 +451,10 @@ def main(names):
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or list(REGISTRY)
+    argv = sys.argv[1:]
+    int8 = "--int8" in argv
+    names = [a for a in argv if a != "--int8"] or list(REGISTRY)
     bad = [n for n in names if n not in REGISTRY]
     if bad:
         raise SystemExit(f"unknown models {bad}; known: {list(REGISTRY)}")
-    main(names)
+    main(names, int8=int8)
