@@ -416,7 +416,7 @@ def run_model(name, steps=None, log_every=500, int8=False):
     return result
 
 
-def main(names, int8=False):
+def main(names, int8=False, steps=None):
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "int8_results.json" if int8 else "sweep_results.json")
@@ -428,7 +428,7 @@ def main(names, int8=False):
     for name in names:
         print(f"== {name} ==", flush=True)
         try:
-            r = run_model(name, int8=int8)
+            r = run_model(name, steps=steps, int8=int8)
         except Exception as e:  # keep sweeping; report at the end
             print(f"  [{name}] ERROR: {e}", flush=True)
             r = {"model": name, "error": str(e), "pass": False}
@@ -453,8 +453,17 @@ def main(names, int8=False):
 if __name__ == "__main__":
     argv = sys.argv[1:]
     int8 = "--int8" in argv
-    names = [a for a in argv if a != "--int8"] or list(REGISTRY)
+    steps = None
+    names = []
+    for a in argv:
+        if a == "--int8":
+            continue
+        elif a.startswith("--steps="):
+            steps = int(a.split("=", 1)[1])
+        else:
+            names.append(a)
+    names = names or list(REGISTRY)
     bad = [n for n in names if n not in REGISTRY]
     if bad:
         raise SystemExit(f"unknown models {bad}; known: {list(REGISTRY)}")
-    main(names, int8=int8)
+    main(names, int8=int8, steps=steps)
