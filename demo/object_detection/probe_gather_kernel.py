@@ -105,6 +105,19 @@ def main():
             print(f"  pallas g={g} wave={wave} FAILED: "
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
+    # r5 reformulation: BlockSpec-index-map pipeline (gather_rows_bs) —
+    # no manual DMA, Mosaic's own double-buffered fetches
+    from tlxcv_tpu.ops.pallas.gather import gather_rows_bs
+    for g in (4, 8, 16):
+        try:
+            dt = bench_raw(
+                lambda t, i, g=g: gather_rows_bs(t, i, g=g),
+                f"pallas_bs g={g:3d}   ", idx0, table)
+            print(f"    -> {xla / dt:.2f}x vs XLA", flush=True)
+        except Exception as e:
+            print(f"  pallas_bs g={g} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+
     print("2) multilevel_roi_align 640^2 b8, 512 boxes, s=7 sr=1",
           flush=True)
     feats = [jnp.asarray(rng.normal(size=(8, hw, hw, 256)), jnp.bfloat16)
@@ -113,12 +126,13 @@ def main():
     wh = rng.uniform(16, 140, size=(8, 512, 2)).astype(np.float32)
     boxes = jnp.asarray(np.concatenate([lo, lo + wh], -1))
     x = bench_align("xla", feats, boxes)
-    try:
-        p = bench_align("pallas", feats, boxes)
-        print(f"    -> {x / p:.2f}x vs XLA", flush=True)
-    except Exception as e:
-        print(f"  roi_align[pallas] FAILED: {type(e).__name__}: "
-              f"{str(e)[:300]}", flush=True)
+    for impl in ("pallas_bs", "pallas"):
+        try:
+            p = bench_align(impl, feats, boxes)
+            print(f"    -> {x / p:.2f}x vs XLA", flush=True)
+        except Exception as e:
+            print(f"  roi_align[{impl}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gather_rows"]
+__all__ = ["gather_rows", "gather_rows_bs"]
 
 
 def _kernel(idx_ref, table_ref, out_ref, sems, *, g, wave):
@@ -76,4 +76,53 @@ def gather_rows(table, idx, g: int = 256, wave: int = 16,
         out_shape=jax.ShapeDtypeStruct((r_pad, c), table.dtype),
         interpret=interpret,
     )(idx_p, table)
+    return out[:r]
+
+
+def _bs_kernel(idx_ref, *refs, g):
+    # refs = g single-row input blocks + the [g, C] output block
+    ins, out_ref = refs[:-1], refs[-1]
+    for j in range(g):  # static unroll, pure VMEM row copies
+        out_ref[j, :] = ins[j][0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("g", "interpret"))
+def gather_rows_bs(table, idx, g: int = 8, interpret: bool = False):
+    """Row gather via scalar-prefetch-driven BlockSpec index maps
+    (VERDICT r4 #8 reformulation attempt).
+
+    The r4 kernel above hand-issues async DMAs from a `pl.ANY` table —
+    rejected wholesale by this toolchain's remote Mosaic compiler
+    (internal tpu_compile_helper failure, BENCHMARKS.md r4).  Here the
+    pipeline itself does the fetching: the table is passed `g` times,
+    each copy with a (1, C) BlockSpec whose index_map reads the
+    prefetched indices (`idx_ref[i*g + j]`), so Mosaic's own grid
+    pipeline issues and double-buffers every row DMA — no manual
+    semaphores, no ANY-space accesses, nothing outside the subset this
+    toolchain has compiled before (scalar prefetch + block-indexed
+    specs are exactly the attention kernel's machinery).
+
+    Semantics: identical to ``table[idx]`` for in-range indices.
+    """
+    n, c = table.shape
+    r = idx.shape[0]
+    r_pad = -(-r // g) * g
+    idx_p = jnp.pad(idx.astype(jnp.int32), (0, r_pad - r))
+
+    in_specs = [
+        pl.BlockSpec((1, c),
+                     (lambda j: lambda i, idx_ref: (idx_ref[i * g + j], 0))(j))
+        for j in range(g)
+    ]
+    out = pl.pallas_call(
+        functools.partial(_bs_kernel, g=g),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(r_pad // g,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((g, c), lambda i, idx_ref: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((r_pad, c), table.dtype),
+        interpret=interpret,
+    )(idx_p, *([table] * g))
     return out[:r]

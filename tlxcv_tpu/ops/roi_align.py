@@ -83,12 +83,16 @@ def multilevel_roi_align(feats, boxes, output_size: int = 7,
     k = jnp.floor(4 + jnp.log2(jnp.sqrt(area) / 224.0 + 1e-9))
     k = (jnp.clip(k, 2, 5) - 2).astype(jnp.int32)        # [N, R] in 0..3
 
-    if gather_impl == "pallas":
+    if gather_impl in ("pallas", "pallas_bs"):
         # identical math, but the hot gather is ONE whole-batch Pallas
-        # DMA row-gather (ops/pallas/gather.py) instead of XLA's
-        # generic gather lowering; coordinates/weights are computed
-        # batched (they are cheap VPU math either way)
-        from .pallas.gather import gather_rows
+        # row-gather (ops/pallas/gather.py) instead of XLA's generic
+        # gather lowering; coordinates/weights are computed batched
+        # (they are cheap VPU math either way).  "pallas" = manual
+        # async-DMA kernel; "pallas_bs" = BlockSpec-index-map pipeline
+        # (the r5 reformulation).
+        from .pallas.gather import gather_rows, gather_rows_bs
+        if gather_impl == "pallas_bs":
+            gather_rows = functools.partial(gather_rows_bs, g=8)
 
         scale = 1.0 / stride_arr[k]                      # [N, R]
         b = boxes * scale[..., None]
