@@ -97,3 +97,13 @@ def test_gan_cyclegan_bar():
     assert r["trans_psnr"] > r["identity_psnr"] + 6.0, r
     assert r["cycle_psnr"] >= r["cycle_psnr_bar"], r
     assert r["fid_ratio"] <= r["fid_ratio_bar"], r
+
+
+def test_vit_qat_int8_bar():
+    r = _load("image_classification", "accuracy_results_qat.json")
+    assert r["metric"] == "vit_qat_int8"
+    # the converted int8 serving model holds float accuracy, and QAT is
+    # never worse than plain PTQ
+    assert r["qat_int8_acc"] >= r["float_acc"] - 0.02, r
+    assert r["qat_int8_acc"] >= r["ptq_acc"] - 0.005, r
+    assert r["pass"], r

@@ -42,3 +42,38 @@ def test_recorded_sweep_results_clear_floors():
         assert r["map"] >= r["floor"], (name, r["map"], r["floor"])
         # floors must match the registry (no silently lowered bars)
         assert r["floor"] == REGISTRY[name][3]
+
+
+INT8_RESULTS = os.path.join(os.path.dirname(RESULTS), "int8_results.json")
+DETR_R50 = os.path.join(os.path.dirname(RESULTS), "detr_r50_results.json")
+
+
+@pytest.mark.skipif(not os.path.exists(INT8_RESULTS),
+                    reason="--int8 sweep not yet run on this checkout")
+def test_int8_task_accuracy_bar():
+    """int8 serving proven on the task metric (VERDICT r4 #5): the
+    trained checkpoint, quantized via quantize_for_serving, must hold
+    fixture-mAP within 0.02 of its float self."""
+    with open(INT8_RESULTS) as f:
+        rows = {r["model"]: r for r in json.load(f)}
+    assert rows, "int8_results.json is empty"
+    for name, r in rows.items():
+        assert "error" not in r, (name, r)
+        assert r["map"] >= r["floor"], (name, r)
+        assert r["int8_map"] >= r["map"] - 0.02, (name, r)
+        assert r["int8_pass"], (name, r)
+
+
+@pytest.mark.skipif(not os.path.exists(DETR_R50),
+                    reason="detr_r50 bar not yet run on this checkout")
+def test_detr_r50_reference_config_bar():
+    """Reference-config DETR (frozen-BN ResNet-50, hermetic pretrain)
+    must clear a floor comparable to the other sweep rows (VERDICT r4
+    #4: the reference config itself needs a quality proof)."""
+    with open(DETR_R50) as f:
+        r = json.load(f)
+    assert "error" not in r, r
+    assert r["floor"] >= 0.55
+    assert r["map"] >= r["floor"], r
+    # the stage-1 pretrain must itself have formed features
+    assert r["pretrain_val_acc"] >= 0.85, r
