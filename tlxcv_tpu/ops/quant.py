@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import typing as tp
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -283,8 +284,17 @@ def fold_batchnorm(model, example, forward=None, tol=1e-2):
     Verifies the model output on ``example`` is unchanged (<= ``tol``
     relative); a raw-op consumer invisible to the trace would break
     equivalence and trips this check.  Returns the number folded.
+
+    Verification runs under ``jax.default_matmul_precision("highest")``:
+    on TPU, f32 convs default to bf16 operands, so rescaling a trained
+    kernel changes its bf16 rounding by ~2^-9 relative per layer — a
+    random walk that compounds to ~1% over a 72-conv net (the trained
+    YOLOv3 sweep checkpoint measured 1.1%, tripping tol=1e-2 as a false
+    positive, r5).  A genuinely untraced consumer produces O(1) errors
+    and still trips at any precision.
     """
-    y0 = np.asarray((forward or model)(jnp.asarray(example)), np.float32)
+    with jax.default_matmul_precision("highest"):
+        y0 = np.asarray((forward or model)(jnp.asarray(example)), np.float32)
     events = _trace(model, example, forward)
     produced = {}
     consumers = {}
@@ -343,7 +353,8 @@ def fold_batchnorm(model, example, forward=None, tol=1e-2):
         bn._folded = True
         count += 1
 
-    y1 = np.asarray((forward or model)(jnp.asarray(example)), np.float32)
+    with jax.default_matmul_precision("highest"):
+        y1 = np.asarray((forward or model)(jnp.asarray(example)), np.float32)
     err = float(np.max(np.abs(y1 - y0)))
     ref = float(np.max(np.abs(y0))) + 1e-12
     if err > tol * ref:
@@ -396,7 +407,15 @@ def fuse_requantize(model, example, forward=None, tol=0.05):
     examples = [jnp.asarray(e) for e in
                 (example if isinstance(example, (list, tuple))
                  else [example])]
-    run = forward or model
+    _run = forward or model
+
+    def run(x):
+        # highest matmul precision: the residual FLOAT convs otherwise
+        # run bf16-operand on TPU and their rounding noise eats into the
+        # int8 tol budget (see fold_batchnorm's verification note)
+        with jax.default_matmul_precision("highest"):
+            return _run(x)
+
     y0s = [np.asarray(run(x), np.float32) for x in examples]
     events = _trace(model, examples[0], forward)
     consumers = {}
