@@ -139,8 +139,14 @@ def main(steps_cls=1500, steps_det=4000):
     # drop the classifier head; the detection backbone is headless
     backbone_sd = {k: v for k, v in sd.items() if not k.startswith("fc")}
 
+    # Reference LR semantics: backbone at 0.1x the head LR + grad clip 0.1
+    # (reference detr configs lr_backbone=1e-5 vs lr=1e-4, clip_max_norm
+    # 0.1).  Measured r5: uniform 2e-4 on the pretrained frozen-BN r50
+    # collapses the features (loss flat ~12.6, mAP 0.002) — the frozen
+    # stats cannot track Adam-rate activation drift.
     S.REGISTRY["detr_r50"] = (lambda: make_detr_r50(backbone_sd),
-                              steps_det, 2e-4, 0.55)
+                              steps_det, 2e-4, 0.55,
+                              {"backbone_lr_mult": 0.1, "clip": 0.1})
     S.TARGET_ADAPTERS["detr_r50"] = S.TARGET_ADAPTERS["detr"]
     S.PREDICT_ADAPTERS["detr_r50"] = S.PREDICT_ADAPTERS["detr"]
     r = S.run_model("detr_r50", steps=steps_det)

@@ -300,7 +300,25 @@ def run_model(name, steps=None, log_every=500, int8=False):
     fwd = pure(model, PREDICT_ADAPTERS[name]) if name in PREDICT_ADAPTERS \
         else pure(model)
     sched = optax.cosine_decay_schedule(lr, steps)
-    tx = optax.adam(sched)
+    # Reference DETR recipe semantics (reference tlxcv/demo/object_detection
+    # configs: lr_backbone = 0.1x lr, clip_max_norm 0.1): a PRETRAINED
+    # frozen-BN backbone fine-tuned at the full head LR collapses — Adam at
+    # 2e-4 shifts the conv activations away from the frozen running stats
+    # within a few hundred steps and the features can never re-normalize
+    # (measured: detr_r50 loss flat at ~12.6 from step 500, mAP 0.002).
+    bb_mult = opts.get("backbone_lr_mult")
+    clip = opts.get("clip")
+    if bb_mult is not None:
+        bb_sched = optax.cosine_decay_schedule(lr * bb_mult, steps)
+        labels = {k: ("backbone" if k.startswith("backbone") else "main")
+                  for k in params}
+        tx = optax.multi_transform(
+            {"backbone": optax.adam(bb_sched), "main": optax.adam(sched)},
+            labels)
+    else:
+        tx = optax.adam(sched)
+    if clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
     opt_state = tx.init(params)
 
     train = ShapesDetection(num=4096, size=sz, seed=0)
