@@ -104,6 +104,17 @@ def _alive():
 _LAST_PROGRESS = time.monotonic()
 
 
+def _cpu_prep():
+    """Context: run quantization prep (BN fold / calibration / fuse
+    verification) on the host CPU backend.  Prep compiles the FLOAT
+    model several times; doing that on the relay costs 30-90 s per
+    compile and contributes nothing to the measured serving number —
+    only the final int8 graph belongs on the TPU.  CPU f32 also makes
+    the fold/fuse verification exact (no bf16-rounding false positives,
+    cf. commit 65826fb)."""
+    return jax.default_device(jax.devices("cpu")[0])
+
+
 def _compile(fn, args):
     """AOT-compile `fn` and return (callable, flops_per_call | None).
 
@@ -221,7 +232,8 @@ def bench_resnet50_int8():
 
     model = resnet50(num_classes=1000)
     calib = np.random.default_rng(1).normal(size=(4, 224, 224, 3))
-    quantize_for_serving(model, [calib.astype(np.float32)])
+    with _cpu_prep():
+        quantize_for_serving(model, [calib.astype(np.float32)])
     params, state = split(model)
     fwd = pure(model)
 
@@ -250,10 +262,11 @@ def bench_yolov3_int8():
     from tlxcv_tpu.ops.quant import calibrate_activations, quantize_weights
 
     model = YOLOv3(num_classes=80, use_matrix_nms=True)
-    quantize_weights(model)
     calib = np.random.default_rng(1).normal(size=(2, 416, 416, 3))
-    calibrate_activations(model, [calib.astype(np.float32)],
-                          forward=lambda v: model.head_outputs(v))
+    with _cpu_prep():
+        quantize_weights(model)
+        calibrate_activations(model, [calib.astype(np.float32)],
+                              forward=lambda v: model.head_outputs(v))
     params, state = split(model)
     fwd = pure(model)
 
@@ -411,9 +424,10 @@ def bench_vit_int8():
     from tlxcv_tpu.ops.quant import calibrate_activations, quantize_weights
 
     model = vit_base_patch16_224()
-    quantize_weights(model)
     calib = np.random.default_rng(1).normal(size=(4, 224, 224, 3))
-    calibrate_activations(model, [calib.astype(np.float32)])
+    with _cpu_prep():
+        quantize_weights(model)
+        calibrate_activations(model, [calib.astype(np.float32)])
     params, state = split(model)
     fwd = pure(model)
 
