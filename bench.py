@@ -31,6 +31,7 @@ import json
 import os
 import signal
 import sys
+import threading
 import time
 
 import jax
@@ -62,6 +63,10 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2700"))
 # the whole line is re-printed (incremental emission — last line wins).
 RESULTS = {}
 SKIPPED = []
+# The watchdog thread emits concurrently with the main thread's
+# RESULTS writes; an unsynchronized dict iteration there can raise
+# mid-emit and lose the wedge error line entirely.
+_RESULTS_LOCK = threading.Lock()
 
 
 def _assemble():
@@ -71,7 +76,8 @@ def _assemble():
         "unit": "img/s",
         "vs_baseline": 0.0,
     }
-    line.update(RESULTS)
+    with _RESULTS_LOCK:
+        line.update(RESULTS)
     if SKIPPED:
         line["skipped_legs"] = ",".join(SKIPPED)
     return line
@@ -511,8 +517,6 @@ def main():
     # cold-cache run proceeds leg-by-leg under the BUDGET_S gate, while
     # a true wedge is detected within WATCHDOG_S.  On wedge, emit the
     # assembled line (with every finished leg) + error, exit 2.
-    import threading
-
     done = threading.Event()
 
     def watchdog():
@@ -529,30 +533,41 @@ def main():
         emit(note=f"terminated by signal {signum} mid-run")
         os._exit(0)
 
-    signal.signal(signal.SIGTERM, on_term)
-    signal.signal(signal.SIGINT, on_term)
-
-    for name, fn, est in LEGS:
-        elapsed = time.monotonic() - T_START
-        if elapsed + est > BUDGET_S:
-            SKIPPED.append(name)
-            _note(f"skipping {name}: {int(elapsed)}s elapsed + ~{est}s "
-                  f"> budget {int(BUDGET_S)}s")
-            continue
-        _note(f"leg {name} starting ({int(elapsed)}s elapsed)")
-        t_leg = time.monotonic()
-        try:
-            RESULTS.update(fn())
-            # per-leg wall-clock (mostly cold compile): diagnoses a
-            # future rc-124 from the artifact itself
-            RESULTS[f"{name}_leg_s"] = round(time.monotonic() - t_leg, 1)
-        except Exception as e:  # a broken leg must not kill the artifact
-            SKIPPED.append(name)
-            RESULTS[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
-            _note(f"leg {name} FAILED: {e}")
-        emit()
-    done.set()
-    emit()  # final line (identical to the last incremental one)
+    # Save/restore the previous handlers: in-process callers (the bench
+    # harness tests run main() under pytest) must not inherit an
+    # os._exit(0) SIGTERM handler for the rest of their process.
+    prev_term = signal.signal(signal.SIGTERM, on_term)
+    prev_int = signal.signal(signal.SIGINT, on_term)
+    try:
+        for name, fn, est in LEGS:
+            elapsed = time.monotonic() - T_START
+            if elapsed + est > BUDGET_S:
+                SKIPPED.append(name)
+                _note(f"skipping {name}: {int(elapsed)}s elapsed + ~{est}s "
+                      f"> budget {int(BUDGET_S)}s")
+                continue
+            _note(f"leg {name} starting ({int(elapsed)}s elapsed)")
+            t_leg = time.monotonic()
+            try:
+                leg = fn()
+                with _RESULTS_LOCK:
+                    RESULTS.update(leg)
+                    # per-leg wall-clock (mostly cold compile): diagnoses
+                    # a future rc-124 from the artifact itself
+                    RESULTS[f"{name}_leg_s"] = round(
+                        time.monotonic() - t_leg, 1)
+            except Exception as e:  # broken leg must not kill the artifact
+                SKIPPED.append(name)
+                with _RESULTS_LOCK:
+                    RESULTS[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+                _note(f"leg {name} FAILED: {e}")
+            emit()
+        done.set()
+        emit()  # final line (identical to the last incremental one)
+    finally:
+        done.set()
+        signal.signal(signal.SIGTERM, prev_term)
+        signal.signal(signal.SIGINT, prev_int)
 
 
 if __name__ == "__main__":

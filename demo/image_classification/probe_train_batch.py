@@ -84,14 +84,15 @@ def bench(batch, donate):
 
 
 def main():
-    for batch in (256, 512, 1024):
+    for batch, donate in ((256, False), (512, False), (1024, False),
+                          (512, True)):
         try:
-            bench(batch, donate=False)
+            bench(batch, donate=donate)
         except Exception as e:
-            RESULTS[f"b{batch}"] = f"ERROR: {type(e).__name__}: {e}"[:160]
+            tag = f"b{batch}" + ("_donate" if donate else "")
+            RESULTS[tag] = f"ERROR: {type(e).__name__}: {e}"[:160]
             with open(OUT, "w") as f:
                 json.dump(RESULTS, f, indent=1)
-    bench(512, donate=True)
     print(json.dumps(RESULTS))
 
 

@@ -355,18 +355,6 @@ def run_model(name, steps=None, log_every=500, int8=False):
         out, _ = fwd(params, state, x, training=False)
         return out
 
-    preds, gts = [], []
-    for i0 in range(0, len(val), B):
-        idxs = list(range(i0, min(i0 + B, len(val))))
-        x, _ = batcher(val, idxs)
-        out = predict(params, state, x)
-        dets, counts = np.asarray(out[0], np.float32), np.asarray(out[1])
-        for j, i in enumerate(idxs):
-            n = int(counts[j])
-            preds.append({"boxes": dets[j, :n, 2:6], "scores": dets[j, :n, 1],
-                          "labels": dets[j, :n, 0].astype(int)})
-            _, t = val[i]
-            gts.append({"boxes": t["boxes"], "labels": t["class_labels"]})
     def eval_map(predict_fn, p, s):
         preds, gts = [], []
         for i0 in range(0, len(val), B):

@@ -141,3 +141,26 @@ def test_sigterm_emits_partial_line():
     assert last["value"] == 9.0
     assert "terminated by signal" in last.get("note", "")
     assert proc.returncode == 0
+
+
+def test_main_restores_signal_handlers(bench, capsys, monkeypatch):
+    """In-process callers (this suite) must not inherit bench's
+    os._exit SIGTERM/SIGINT handlers after main() returns — a later
+    driver SIGTERM would make a killed pytest run exit 0 and skip all
+    teardown (including the RECORD_SUITE summary write)."""
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+    monkeypatch.setattr(bench, "LEGS", [("a", lambda: {"value": 1.0}, 1)])
+    bench.main()
+    capsys.readouterr()
+    assert signal.getsignal(signal.SIGTERM) is prev_term
+    assert signal.getsignal(signal.SIGINT) is prev_int
+    # restored even when a leg raises out of main() entirely
+    def boom():
+        raise KeyboardInterrupt  # not caught by the per-leg except
+    monkeypatch.setattr(bench, "LEGS", [("a", boom, 1)])
+    with pytest.raises(KeyboardInterrupt):
+        bench.main()
+    capsys.readouterr()
+    assert signal.getsignal(signal.SIGTERM) is prev_term
+    assert signal.getsignal(signal.SIGINT) is prev_int

@@ -211,3 +211,26 @@ def test_disable_qat_keeps_scales(rng):
     enable_qat(m, act=True)
     y_qat = np.asarray(m(x))
     assert np.abs(y_plain - y_qat).max() > 0
+
+
+def test_qat_serving_convert_respects_enable_include(rng):
+    """An enable_qat(include=...) exclusion carries through to serving:
+    the excluded layer (whose weights training never saw fake-quantized)
+    must stay float after qat_serving_convert — blanket-quantizing it
+    would reintroduce exactly the PTQ loss QAT exists to avoid."""
+    m = ConvNet()
+    n = enable_qat(m, act=False,
+                   include=lambda p, mod: not isinstance(mod, nn.Linear))
+    assert n == 2  # conv1, conv2 — head excluded
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+    y_qat = np.asarray(m(x))
+    assert qat_serving_convert(m) == 2
+    assert m.conv1.weight.value.dtype == jnp.int8
+    assert m.conv2.weight.value.dtype == jnp.int8
+    assert m.head.weight.value.dtype != jnp.int8  # stays float
+    # bit-alignment still holds for the converted subset
+    y_int8 = np.asarray(m(x))
+    np.testing.assert_allclose(y_qat, y_int8, rtol=1e-6, atol=1e-6)
+    # explicit include overrides the flag default: convert the head too
+    assert qat_serving_convert(m, include=lambda p, mod: True) == 1
+    assert m.head.weight.value.dtype == jnp.int8

@@ -188,7 +188,8 @@ def disable_qat(model, keep_scales: bool = True) -> int:
     return count
 
 
-def qat_serving_convert(model) -> int:
+def qat_serving_convert(model,
+                        include: tp.Optional[tp.Callable] = None) -> int:
     """Convert a QAT-fine-tuned model in place to the int8 serving path,
     BIT-ALIGNED with its QAT forward: weights quantize with the same
     per-out-channel scale formula the fake-quant used (so the served
@@ -197,13 +198,26 @@ def qat_serving_convert(model) -> int:
     re-calibration — re-measuring scales post-QAT would break the
     alignment the fine-tune established).
 
+    By default only the layers that were QAT-flagged convert — an
+    ``enable_qat(include=...)`` exclusion (e.g. keeping a sensitive
+    head float) carries through to serving; layers training never saw
+    fake-quantized stay float.  Pass ``include`` explicitly to override
+    (same ``(path, mod) -> bool`` contract as
+    :func:`quantize_weights`); if no layer carries a QAT flag (plain
+    PTQ model), all float layers convert as before.
+
     Remember the functional-training trap: after ``pure()``/``split()``
     training the module still holds its INIT weights —
     ``model.load_state_dict({**params, **state})`` first.
 
     Returns the number of layers quantized."""
+    if include is None:
+        flagged = {id(m) for _, m in model.modules()
+                   if getattr(m, "_qat", False)}
+        if flagged:
+            include = lambda path, mod: id(mod) in flagged
     disable_qat(model, keep_scales=True)
-    return quantize_weights(model)
+    return quantize_weights(model, include=include)
 
 
 def _trace(model, example, forward=None):
