@@ -121,6 +121,18 @@ def _cpu_prep():
     return jax.default_device(jax.devices("cpu")[0])
 
 
+def _pin(tree):
+    """Move a pytree of (possibly CPU-committed) arrays onto the default
+    accelerator ONCE, before timing.  Prep under _cpu_prep leaves the
+    quantized weights host-committed; without this every timed dispatch
+    re-ships them through the relay — invisible on an idle host (the
+    change was validated at full speed), but a 20-30x collapse when the
+    host CPU is contended (observed: resnet int8 14,613 -> 432 img/s
+    with a full pytest suite running)."""
+    dev = jax.devices()[0]
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, dev), tree)
+
+
 def _compile(fn, args):
     """AOT-compile `fn` and return (callable, flops_per_call | None).
 
@@ -240,7 +252,7 @@ def bench_resnet50_int8():
     calib = np.random.default_rng(1).normal(size=(4, 224, 224, 3))
     with _cpu_prep():
         quantize_for_serving(model, [calib.astype(np.float32)])
-    params, state = split(model)
+    params, state = _pin(split(model))
     fwd = pure(model)
 
     def infer(params, state, x):
@@ -273,7 +285,7 @@ def bench_yolov3_int8():
         quantize_weights(model)
         calibrate_activations(model, [calib.astype(np.float32)],
                               forward=lambda v: model.head_outputs(v))
-    params, state = split(model)
+    params, state = _pin(split(model))
     fwd = pure(model)
 
     def infer(params, state, x):
@@ -434,7 +446,7 @@ def bench_vit_int8():
     with _cpu_prep():
         quantize_weights(model)
         calibrate_activations(model, [calib.astype(np.float32)])
-    params, state = split(model)
+    params, state = _pin(split(model))
     fwd = pure(model)
 
     def infer(params, state, x):
