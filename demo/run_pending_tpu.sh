@@ -17,10 +17,11 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${TPU_QUEUE_LOG:-/tmp}
 ITEMS=("$@")
-# r4 outstanding set: detector re-runs (cascade b16 / detr auction /
-# yolov3 8k / ppyoloe 2-phase / ssd 256), the cyclegan bar, and the
-# int8 stage split; the full menu below remains addressable by name
-[ ${#ITEMS[@]} -eq 0 ] && ITEMS=(sweep cyclegan int8_stages bench)
+# r5 closed every outstanding bar; the default is now the re-validation
+# set a fresh checkout most wants confirmed (reference-config DETR-r50,
+# the QAT bar, the int8 task sweep, the driver bench); the full menu
+# below remains addressable by name
+[ ${#ITEMS[@]} -eq 0 ] && ITEMS=(detr_r50 qat int8_sweep bench)
 
 run() { # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
@@ -37,6 +38,9 @@ for item in "${ITEMS[@]}"; do case $item in
   pfld)   run pfld_bar   9000 python demo/facial_landmark_detection/accuracy_check.py ;;
   iseg)   run iseg      10000 python demo/object_detection/accuracy_check_instance_seg.py ;;
   sweep)  run sweep     24000 python demo/object_detection/accuracy_sweep.py ;;
+  int8_sweep) run int8_sweep 6000 python demo/object_detection/accuracy_sweep.py --int8 yolov3 ;;
+  detr_r50) run detr_r50 9000 python demo/object_detection/accuracy_check_detr_r50.py ;;
+  qat)    run qat_bar    4000 python demo/image_classification/accuracy_check_qat.py ;;
   swin)   run prof_swin  4000 python demo/image_classification/profile_swin.py ;;
   vit)    run prof_vit   4000 python demo/image_classification/profile_vit.py ;;
   gather) run gather     3600 python demo/object_detection/probe_gather_kernel.py ;;
