@@ -19,7 +19,20 @@ from ...core.module import Module, Param
 from .vision_transformer import Mlp
 
 __all__ = ["SwinTransformer", "swin_tiny", "swin_small", "swin_base",
-           "swin_large", "swin_transformer_base"]
+           "swin_large", "swin_transformer_base", "set_window_pack"]
+
+
+def set_window_pack(model, pack: int):
+    """Set the window-packing factor on every WindowAttention in `model`
+    (see WindowAttention.pack — a compute-layout knob, parameters and
+    math unchanged).  Requirements at each stage: pack must divide
+    batch*num_windows; shifted blocks additionally need
+    num_windows % pack == 0 (a block that can't satisfy them silently
+    runs unpacked).  Returns the model."""
+    for _, m in model.modules():
+        if isinstance(m, WindowAttention):
+            m.pack = pack
+    return model
 
 
 def window_partition(x, ws):
@@ -58,27 +71,56 @@ def _shift_attn_mask(h, w, ws, shift):
 
 
 class WindowAttention(Module):
+    """Per-window MHSA with relative-position bias.
+
+    `pack` (layout knob, default 1 — set via `set_window_pack`): run the
+    attention einsums over groups of `pack` windows fused into one
+    [pack*ws², pack*ws²] attention with a block-diagonal bias (-100 on
+    cross-window blocks, the same additive-mask trick the shifted
+    windows already use).  Pure compute-layout change — parameters and
+    math are identical (cross-window leakage is exp(-100) ≈ 0).  The
+    point: a 49-token window fills ~38% of the MXU's 128-wide output
+    tile, so the QK^T/AV contractions run at ~10% MXU occupancy
+    (BENCHMARKS.md Swin verdict); packing 2 windows doubles useful
+    MACs per MXU pass at the cost of 2x nominal FLOPs.
+    """
+
     def __init__(self, dim, ws, num_heads, qkv_bias=True):
         self.num_heads = num_heads
         self.head_dim = dim // num_heads
         self.scale = self.head_dim ** -0.5
         self.ws = ws
+        self.pack = 1
         self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
         self.proj = nn.Linear(dim, dim)
         self.rel_bias = Param(I.truncated_normal(
             ((2 * ws - 1) ** 2, num_heads), std=0.02))
         self.rel_index = _relative_position_index(ws)  # static numpy
 
-    def __call__(self, x, mask=None):
-        """x: [nW*B, ws*ws, C]; mask: [nW, ws*ws, ws*ws] or None."""
+    def _bias(self, n, dtype, p):
+        bias = self.rel_bias.value[self.rel_index.reshape(-1)].reshape(
+            n, n, self.num_heads).transpose(2, 0, 1)
+        if p == 1:
+            return bias.astype(dtype)
+        big = jnp.full((self.num_heads, p * n, p * n), -100.0,
+                       self.rel_bias.value.dtype)
+        for i in range(p):
+            big = big.at[:, i * n:(i + 1) * n, i * n:(i + 1) * n].set(bias)
+        return big.astype(dtype)
+
+    def __call__(self, x, mask=None, pack=None):
+        """x: [nW*B, ws*ws, C]; mask: [nW/pack, pack*ws², pack*ws²]
+        (pre-packed by SwinBlock) or [nW, ws*ws, ws*ws] or None."""
         bn, n, c = x.shape
+        p = self.pack if pack is None else pack
+        if p > 1:
+            x = x.reshape(bn // p, p * n, c)
+            bn, n = bn // p, p * n
         qkv = self.qkv(x).reshape(bn, n, 3, self.num_heads, self.head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = (q * self.scale) @ k.transpose(0, 1, 3, 2)
-        bias = self.rel_bias.value[self.rel_index.reshape(-1)].reshape(
-            n, n, self.num_heads).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
+        attn = attn + self._bias(self.ws * self.ws, attn.dtype, p)[None]
         if mask is not None:
             nw = mask.shape[0]
             attn = attn.reshape(bn // nw, nw, self.num_heads, n, n)
@@ -86,6 +128,8 @@ class WindowAttention(Module):
             attn = attn.reshape(bn, self.num_heads, n, n)
         attn = jax.nn.softmax(attn, -1)
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(bn, n, c)
+        if p > 1:
+            out = out.reshape(bn * p, n // p, c)
         return self.proj(out)
 
 
@@ -104,6 +148,25 @@ class SwinBlock(Module):
         self.drop_path = nn.DropPath(drop_path)
         self.attn_mask = (_shift_attn_mask(h, w, ws, shift)
                           if shift > 0 else None)
+        self._packed_masks = {}  # pack -> numpy [nW/p, p*n, p*n]
+
+    def _mask_for(self, p):
+        """Shift mask packed p windows per group: per-window masks on the
+        diagonal blocks, zeros off-diagonal (the cross-window -100 rides
+        the packed relative-position bias)."""
+        if self.attn_mask is None:
+            return None
+        if p == 1:
+            return self.attn_mask
+        if p not in self._packed_masks:
+            m = self.attn_mask
+            nw, n, _ = m.shape
+            big = np.zeros((nw // p, p * n, p * n), np.float32)
+            for i in range(nw // p):
+                for k in range(p):
+                    big[i, k * n:(k + 1) * n, k * n:(k + 1) * n] = m[p * i + k]
+            self._packed_masks[p] = big
+        return self._packed_masks[p]
 
     def __call__(self, x):
         h, w = self.input_hw
@@ -113,8 +176,14 @@ class SwinBlock(Module):
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
         windows = window_partition(x, self.ws)
-        mask = None if self.attn_mask is None else jnp.asarray(self.attn_mask)
-        attn_windows = self.attn(windows, mask)
+        nw = (h // self.ws) * (w // self.ws)
+        p = self.attn.pack
+        if p > 1 and (windows.shape[0] % p != 0
+                      or (self.attn_mask is not None and nw % p != 0)):
+            p = 1  # shape-incompatible at this stage/batch — run unpacked
+        mask = self._mask_for(p)
+        mask = None if mask is None else jnp.asarray(mask)
+        attn_windows = self.attn(windows, mask, pack=p)
         x = window_reverse(attn_windows, self.ws, h, w)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
