@@ -50,6 +50,8 @@ for item in "${ITEMS[@]}"; do case $item in
   resnet_int8) run resnet_int8 7200 python demo/image_classification/profile_resnet_int8.py ;;
   int8_stages) run int8_stages 3600 python demo/image_classification/profile_resnet_int8_stages.py ;;
   bench_train) run bench_train 4000 python demo/image_classification/bench_train.py ;;
+  swin_pack) run swin_pack 4000 python demo/image_classification/probe_swin_pack.py ;;
+  hrnet_s2d) run hrnet_s2d 4000 python demo/image_segmentation/probe_hrnet_s2d.py ;;
   bench)  run bench      3600 python bench.py ;;
   *) echo "unknown item: $item" ;;
 esac; done
