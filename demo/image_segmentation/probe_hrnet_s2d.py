@@ -187,6 +187,41 @@ def main():
     print(f"  18ch 2x2-block speedup: {results['speedup_18ch_p2x2']}x   "
           f"36ch 2x1-block speedup: {results['speedup_36ch_p2x1']}x",
           flush=True)
+
+    # e2e A/B: the bench.py hrnet_seg config (HRNet-W18 FCN 512² b16
+    # bf16 serving) with convert_hrnet_branches_to_s2d applied
+    from tlxcv_tpu.core.module import pure, split
+    from tlxcv_tpu.models.backbones.hrnet import (
+        convert_hrnet_branches_to_s2d)
+    from tlxcv_tpu.models.segmentation.hrnet_seg import hrnet_seg_w18
+
+    def _bf16(d):
+        return {k: (v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v)
+                for k, v in d.items()}
+
+    def e2e(model, x, tag):
+        params, state = split(model)
+        fn = pure(model)
+        step = jax.jit(lambda p, s, xx, f=fn: f(p, s, xx,
+                                                training=False)[0])
+        args = (_bf16(params), state, x)
+        t = _time(step, *args)
+        ips = x.shape[0] / t
+        print(f"  e2e {tag:12s} {t * 1e3:8.2f} ms = {ips:6.1f} img/s",
+              flush=True)
+        results[f"e2e_{tag}"] = {"ms": round(t * 1e3, 2),
+                                 "img_s": round(ips, 1)}
+        return ips
+
+    model = hrnet_seg_w18(num_classes=19)
+    x = jnp.asarray(rng.normal(size=(b, 512, 512, 3)), jnp.bfloat16)
+    base = e2e(model, x, "orig")
+    nconv = convert_hrnet_branches_to_s2d(model)
+    print(f"  converted {nconv} branches", flush=True)
+    blocked = e2e(model, x, "s2d_branches")
+    results["e2e_speedup"] = round(blocked / base, 3)
+    results["branches_converted"] = nconv
+    print(f"  e2e speedup: {results['e2e_speedup']}x", flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "probe_hrnet_s2d.json")
     with open(out, "w") as f:

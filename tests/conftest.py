@@ -27,6 +27,15 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: oracle-battery / multi-minute tests "
         "(deselect with -m 'not slow' for the quick inner loop)")
+    if os.environ.get("RECORD_SUITE"):
+        # capture the SHA at session START: collection imports the tree
+        # as it exists now, so a commit landing during the (long) run
+        # must not be attributed to the record (suite-currency honesty)
+        import subprocess
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        config._record_suite_sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=repo).stdout.strip()
 
 
 def pytest_terminal_summary(terminalreporter, exitstatus, config):
@@ -57,7 +66,8 @@ def pytest_terminal_summary(terminalreporter, exitstatus, config):
                               text=True, cwd=repo).stdout.strip()
 
     rec = {
-        "sha": git("rev-parse", "HEAD"),
+        "sha": (getattr(config, "_record_suite_sha", "")
+                or git("rev-parse", "HEAD")),
         "dirty": bool(git("status", "--porcelain")),
         "date": datetime.datetime.now(datetime.timezone.utc)
         .strftime("%Y-%m-%dT%H:%M:%SZ"),

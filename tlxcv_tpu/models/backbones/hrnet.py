@@ -10,13 +10,15 @@ the BASELINE config #4 Pallas-kernel slot (ops.interpolate boundary).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ... import nn
 from ...ops.image import interpolate
 
 __all__ = ["HRNet", "hrnet_w18_small_v1", "hrnet_w18_small_v2", "hrnet_w18",
            "hrnet_w30", "hrnet_w32", "hrnet_w40", "hrnet_w44", "hrnet_w48",
-           "hrnet_w60", "hrnet_w64"]
+           "hrnet_w60", "hrnet_w64", "SpaceToDepthBranch",
+           "convert_hrnet_branches_to_s2d"]
 
 
 class ConvBNReLU(nn.Module):
@@ -73,6 +75,114 @@ class Branch(nn.Module):
         for b in self.blocks:
             x = b(x)
         return x
+
+
+class SpaceToDepthBranch(nn.Module):
+    """Eval-exact blocked twin of a narrow-channel :class:`Branch`.
+
+    Runs the branch's stride-1 BasicBlocks in a (ph, pw) space-to-depth
+    layout — 3x3 kernels remapped via ``ops.remap_conv3x3_s1`` (exact),
+    BatchNorm affine/stats channel-tiled (exact in eval mode), residual
+    add/ReLU unchanged.  Channels widen ph*pw x toward the MXU's
+    128-lane tile while spatial shrinks, cutting padded MXU passes on
+    the 18/36-channel branches behind HRNet-W18's 13 TF/s layout-bound
+    verdict (BENCHMARKS.md r3; probe_hrnet_s2d.py for the silicon A/B).
+
+    Serving-only: blocked batch-stats would be computed per blocked
+    channel, so calling under ``training=True`` raises.  Input H, W must
+    be multiples of ph, pw.
+    """
+
+    def __init__(self, branch: "Branch", ph: int, pw: int):
+        from ...ops.space_to_depth import remap_conv3x3_s1
+
+        self.ph, self.pw = ph, pw
+        p = ph * pw
+
+        def blocked_cbr(cbr):
+            w = cbr.conv.weight.value
+            if w.shape[:2] != (3, 3) or tuple(cbr.conv.stride) != (1, 1):
+                raise ValueError("branch blocks must be stride-1 3x3")
+            cin, cout = w.shape[2], w.shape[3]
+            wb = remap_conv3x3_s1(np.asarray(w), ph, pw)
+            new = ConvBNReLU.__new__(ConvBNReLU)
+            # w_init from the remapped kernel directly — the default
+            # kaiming init would draw from core.init's global host RNG
+            # (same reproducibility discipline as SpaceToDepthStem)
+            new.conv = nn.Conv2d(p * cin, p * cout, 3, stride=1, padding=1,
+                                 bias=False,
+                                 w_init=lambda s, wb=wb: jnp.asarray(wb))
+            new.bn = nn.BatchNorm(p * cout)
+            for name in ("weight", "bias", "running_mean", "running_var"):
+                var = getattr(cbr.bn, name)
+                if var is not None:
+                    getattr(new.bn, name).value = jnp.tile(var.value, p)
+            new.bn.eps = cbr.bn.eps
+            new.bn.momentum = cbr.bn.momentum
+            new.act = cbr.act
+            return new
+
+        blocks = []
+        for blk in branch.blocks:
+            if blk.downsample is not None:
+                raise ValueError("downsample blocks cannot be blocked")
+            nb = BasicBlock.__new__(BasicBlock)
+            nb.conv1 = blocked_cbr(blk.conv1)
+            nb.conv2 = blocked_cbr(blk.conv2)
+            nb.downsample = None
+            blocks.append(nb)
+        self.blocks = blocks
+
+    def __call__(self, x):
+        from ...core.module import is_training
+        from ...ops.space_to_depth import (block_space_to_depth,
+                                           unblock_space_to_depth)
+
+        if is_training():
+            raise RuntimeError(
+                "SpaceToDepthBranch is a serving transform; blocked "
+                "batch-stats differ — rebuild the model for training")
+        b, h, w, c = x.shape
+        if h % self.ph or w % self.pw:
+            raise ValueError(f"H={h}, W={w} not divisible by "
+                             f"({self.ph}, {self.pw})")
+        z = block_space_to_depth(x, self.ph, self.pw)
+        for blk in self.blocks:
+            z = blk(z)
+        return unblock_space_to_depth(z, self.ph, self.pw, c)
+
+
+def convert_hrnet_branches_to_s2d(model, max_lanes=128):
+    """Swap every narrow-channel HRNet :class:`Branch` for its exact
+    :class:`SpaceToDepthBranch` twin (eval/serving only).
+
+    Pack choice per branch of width c: (2, 2) if 4c <= max_lanes, else
+    (2, 1) if 2c <= max_lanes, else unchanged — e.g. W18's 18-channel
+    branch runs 2x2-blocked at 72 channels, the 36-channel branch
+    2x1-blocked at 72, the 72/144-channel branches stay.  Returns the
+    number of branches converted.  Apply BEFORE
+    ``ops.quant.quantize_for_serving`` (forward-exact, calibration sees
+    identical activations).
+    """
+    n = 0
+    for _, m in model.modules():
+        if not isinstance(m, HighResolutionModule):
+            continue
+        for i, br in enumerate(m.branches):
+            if not isinstance(br, Branch):
+                continue
+            if any(b.downsample is not None for b in br.blocks):
+                continue
+            c = int(br.blocks[0].conv2.conv.weight.value.shape[3])
+            if 4 * c <= max_lanes:
+                ph, pw = 2, 2
+            elif 2 * c <= max_lanes:
+                ph, pw = 2, 1
+            else:
+                continue
+            m.branches[i] = SpaceToDepthBranch(br, ph, pw)
+            n += 1
+    return n
 
 
 class FuseLayers(nn.Module):

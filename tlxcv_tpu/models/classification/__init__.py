@@ -27,8 +27,9 @@ from .deit import (DistilledVisionTransformer, deit_base, deit_small,
                    deit_tiny, distilled_vision_transformer, dvt)
 from .inceptionv3 import InceptionV3, inception_v3
 from .regnet import RegNet, regnetx_4gf, regnety_4gf
-from .swin_transformer import (SwinTransformer, swin_base, swin_large,
-                               swin_small, swin_tiny, swin_transformer_base)
+from .swin_transformer import (SwinTransformer, set_window_pack, swin_base,
+                               swin_large, swin_small, swin_tiny,
+                               swin_transformer_base)
 from .xception import Xception, xception, xception41, xception65
 from .cspdarknet import CSPDarkNet, DarkNet53, cspdarknet53, darknet53_cls
 from .ghostnet import GhostNet, ghostnet

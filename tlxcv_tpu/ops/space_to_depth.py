@@ -53,7 +53,60 @@ import numpy as np
 from .. import nn
 from ..core.module import Module
 
-__all__ = ["SpaceToDepthStem", "convert_stem_to_space_to_depth"]
+__all__ = ["SpaceToDepthStem", "convert_stem_to_space_to_depth",
+           "block_space_to_depth", "unblock_space_to_depth",
+           "remap_conv3x3_s1"]
+
+
+def block_space_to_depth(x, ph, pw):
+    """NHWC -> [N, H/ph, W/pw, ph*pw*C], channel order (a, b, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ph, ph, w // pw, pw, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // ph, w // pw,
+                                                 ph * pw * c)
+
+
+def unblock_space_to_depth(z, ph, pw, c):
+    """Inverse of :func:`block_space_to_depth`."""
+    b, hh, ww, _ = z.shape
+    return z.reshape(b, hh, ww, ph, pw, c).transpose(0, 1, 3, 2, 4, 5) \
+            .reshape(b, ph * hh, pw * ww, c)
+
+
+def remap_conv3x3_s1(w, ph, pw):
+    """Exact blocked twin of a stride-1 3x3 SAME conv kernel.
+
+    A 3x3 SAME conv on [H, W, c] equals a 3x3 SAME conv on the
+    (ph, pw)-blocked layout with kernel (zero where d/e leave [0, 2]):
+
+        W_blk[u+1, v+1, (a,b,c), (α,β,o)] = w[ph*u+a+1-α, pw*v+b+1-β, c, o]
+
+    — the padded-block border rows multiply only structural zeros, so
+    SAME padding in block space reproduces SAME padding in pixel space
+    exactly for even H % ph == W % pw == 0 inputs.  The payoff: narrow-
+    channel convs (c << the 128-lane MXU tile) shrink spatially ph*pw x
+    while channels stay inside one lane tile — fewer padded MXU passes
+    (HRNet layout-bound verdict, BENCHMARKS.md; probe:
+    demo/image_segmentation/probe_hrnet_s2d.py).
+    """
+    w = np.asarray(w)
+    if w.shape[:2] != (3, 3):
+        raise ValueError(f"3x3 kernels only, got {w.shape}")
+    c, o = w.shape[2], w.shape[3]
+    wb = np.zeros((3, 3, ph, pw, c, ph, pw, o), w.dtype)
+    for U in range(3):
+        for a in range(ph):
+            for al in range(ph):
+                d = ph * (U - 1) + a + 1 - al
+                if not 0 <= d <= 2:
+                    continue
+                for V in range(3):
+                    for bb in range(pw):
+                        for be in range(pw):
+                            e = pw * (V - 1) + bb + 1 - be
+                            if 0 <= e <= 2:
+                                wb[U, V, a, bb, :, al, be, :] = w[d, e]
+    return wb.reshape(3, 3, ph * pw * c, ph * pw * o)
 
 
 class SpaceToDepthStem(Module):
