@@ -73,6 +73,12 @@ def _stage_fn(upto):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     model = swin_base(num_classes=1000)
+    pack = int(os.environ.get("TLXCV_SWIN_PACK", "1"))
+    if pack > 1:
+        from tlxcv_tpu.models.classification.swin_transformer import (
+            set_window_pack)
+        set_window_pack(model, pack)
+        print(f"(window pack = {pack})", flush=True)
     params, state = split(model)
     params = _bf16(params)
     x = jnp.asarray(np.random.rand(batch, 224, 224, 3), jnp.bfloat16)
