@@ -476,7 +476,15 @@ def bench_hrnet_seg():
     from tlxcv_tpu.core import pure, split
     from tlxcv_tpu.models.segmentation.hrnet_seg import hrnet_seg_w18
 
+    from tlxcv_tpu.models.backbones.hrnet import (
+        convert_hrnet_branches_to_s2d)
+
     model = hrnet_seg_w18(num_classes=19)
+    # eval-exact serving transform: narrow branches run space-to-depth
+    # blocked (probe_hrnet_s2d.json: e2e 1.49x).  NB the blocked graph's
+    # cost_analysis FLOPs are inflated by structural kernel zeros, so
+    # MFU must use the ORIGINAL model's useful FLOPs (const fallback).
+    convert_hrnet_branches_to_s2d(model)
     params, state = split(model)
     fwd = pure(model)
 
@@ -489,14 +497,13 @@ def bench_hrnet_seg():
         np.random.default_rng(0).normal(size=(batch, 512, 512, 3)),
         jnp.bfloat16)
     args = (_bf16(params), state, x)
-    step, live_flops = _compile(infer, args)
+    step, _ = _compile(infer, args)
     ips = _throughput(step, args, batch, n_iters=10)
-    flops = (live_flops / batch) if live_flops else HRNET_FLOPS
     return {
         "hrnet_w18_seg_512_value": round(ips, 2),
         "hrnet_w18_seg_512_mfu_pct": round(
-            100 * ips * flops / V5E_BF16_PEAK, 1),
-        "hrnet_w18_seg_512_flops_src": "live" if live_flops else "const",
+            100 * ips * HRNET_FLOPS / V5E_BF16_PEAK, 1),
+        "hrnet_w18_seg_512_flops_src": "const_s2d",
     }
 
 
