@@ -58,3 +58,22 @@ def test_hrnet_s2d_refuses_training():
     with pytest.raises(RuntimeError):
         with m.train():
             m(x)
+
+
+def test_hrnet_s2d_composes_with_quantize_for_serving():
+    # the MIGRATING.md claim: apply the layout transform BEFORE
+    # quantize_for_serving — blocked ConvBNReLU shells must fold/quant
+    from tlxcv_tpu.ops.quant import quantize_for_serving
+
+    m = hrnet_w18_small_v1()
+    fwd = m.concat_features  # single-output head over the 4 branches
+    x = np.random.default_rng(3).normal(size=(1, 32, 32, 3)) \
+        .astype(np.float32)
+    ref = np.asarray(fwd(jnp.asarray(x)))
+    n = convert_hrnet_branches_to_s2d(m)
+    assert n > 0
+    quantize_for_serving(m, [x], forward=fwd)
+    out = np.asarray(fwd(jnp.asarray(x)))
+    cos = float(np.dot(ref.ravel(), out.ravel())
+                / (np.linalg.norm(ref) * np.linalg.norm(out) + 1e-9))
+    assert cos > 0.98, cos

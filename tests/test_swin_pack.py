@@ -54,3 +54,19 @@ def test_window_pack_incompatible_falls_back():
     ref = np.asarray(m(x))
     set_window_pack(m, 8)
     np.testing.assert_allclose(np.asarray(m(x)), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_window_pack_direct_attn_call_with_raw_mask():
+    # direct WindowAttention use (profilers) passes the UNPACKED shift
+    # mask; the module must pack it in-graph
+    import jax.numpy as jnp
+
+    m = _micro()
+    set_window_pack(m, 2)
+    blk = m.stages[0][1]  # shifted block at hw=14 (nW=4, real mask)
+    assert blk.attn_mask is not None
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2 * 4, 49, 24)).astype(np.float32))
+    ref = np.asarray(blk.attn(x, jnp.asarray(blk.attn_mask), pack=1))
+    got = np.asarray(blk.attn(x, jnp.asarray(blk.attn_mask)))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)

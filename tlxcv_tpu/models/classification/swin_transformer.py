@@ -122,6 +122,18 @@ class WindowAttention(Module):
         attn = (q * self.scale) @ k.transpose(0, 1, 3, 2)
         attn = attn + self._bias(self.ws * self.ws, attn.dtype, p)[None]
         if mask is not None:
+            if p > 1 and mask.shape[-1] * p == n:
+                # caller passed the raw per-window mask (direct use of
+                # this module, e.g. profilers) — pack it in-graph:
+                # diagonal blocks carry the per-window masks, zeros
+                # elsewhere (cross-window -100 rides the packed bias)
+                nw0, n0 = mask.shape[0], mask.shape[-1]
+                m = mask.reshape(nw0 // p, p, n0, n0)
+                big = jnp.zeros((nw0 // p, n, n), mask.dtype)
+                for i in range(p):
+                    big = big.at[:, i * n0:(i + 1) * n0,
+                                 i * n0:(i + 1) * n0].set(m[:, i])
+                mask = big
             nw = mask.shape[0]
             attn = attn.reshape(bn // nw, nw, self.num_heads, n, n)
             attn = attn + mask[None, :, None].astype(attn.dtype)
